@@ -1,0 +1,51 @@
+package graft.util
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlCanonicalizerSpec extends AnyFunSuite {
+  import UrlCanonicalizer._
+
+  test("scheme+host lowercased, default port stripped, fragment dropped") {
+    assert(canonicalize("HTTP://Example.COM:80/A/b?x=1#frag") == "http://example.com/A/b?x=1")
+    assert(canonicalize("https://Example.com:443/") == "https://example.com/")
+    assert(canonicalize("https://example.com:8443/p") == "https://example.com:8443/p")
+  }
+
+  test("query params sorted, empty query dropped, path defaulted") {
+    assert(canonicalize("http://h.com?b=2&a=1") == "http://h.com/?a=1&b=2")
+    assert(canonicalize("http://h.com/p?") == "http://h.com/p")
+    assert(canonicalize("http://h.com") == "http://h.com/")
+    assert(canonicalize("http://h.com/p?b=2&a=10&a=1") == "http://h.com/p?a=1&a=10&b=2")
+    assert(canonicalize("http://h.com/p?flag&a=1") == "http://h.com/p?a=1&flag")
+  }
+
+  test("non-absolute inputs pass through trimmed") {
+    assert(canonicalize(" mailto:x@y.z ") == "mailto:x@y.z")
+    assert(canonicalize("/relative/path") == "/relative/path")
+  }
+
+  test("host extraction") {
+    assert(host("https://a.b.c/p?q") == "a.b.c")
+    assert(host("http://user@h.com:8080/x") == "h.com")
+    assert(host("https://h.com") == "h.com")
+    assert(host("not a url") == "")
+  }
+
+  test("resolve: browser a.href-style resolution") {
+    val base = "https://h.com/dir/page.html?q=1"
+    assert(resolve(base, "https://other.com/x") == "https://other.com/x")
+    assert(resolve(base, "//cdn.com/y") == "https://cdn.com/y")
+    assert(resolve(base, "/root.html") == "https://h.com/root.html")
+    assert(resolve(base, "sib.html") == "https://h.com/dir/sib.html")
+    assert(resolve(base, "./sib.html") == "https://h.com/dir/sib.html")
+    assert(resolve(base, "../up.html") == "https://h.com/up.html")
+    assert(resolve(base, "") == base)
+    assert(resolve(base, "#frag") == "https://h.com/dir/page.html?q=1#frag")
+    assert(resolve(base, "?x=2") == "https://h.com/dir/page.html?x=2")
+  }
+
+  test("urlHash is canonical-form-invariant") {
+    assert(urlHash("HTTP://H.com:80/p?b=2&a=1#f") == urlHash("http://h.com/p?a=1&b=2"))
+    assert(urlHash("http://h.com/p") != urlHash("http://h.com/q"))
+  }
+}
