@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.kernels.{BlockGraphKernel, LinkKernel}
+import graft.util.UrlCanonicalizer
+
+/** Static bridge between Spark's internal types and the pure kernels —
+  * the single call target for both `nullSafeEval` and generated code, so
+  * every custom expression stays inside whole-stage codegen (the generated
+  * Java calls these directly; see each expression's `doGenCode`).
+  */
+object ExprKernels {
+
+  def links(html: Array[Byte], base: UTF8String): ArrayData = {
+    val out = LinkKernel.extractLinks(html, if (base == null) "" else base.toString)
+    new GenericArrayData(out.map(s => UTF8String.fromString(s): AnyRef))
+  }
+
+  /** (text, data) struct per BlockGraphKernel; map entries keep the
+    * reference's insertion order. */
+  def extractDocument(html: Array[Byte], blockCap: Int): InternalRow = {
+    val r = BlockGraphKernel.extract(html, blockCap)
+    val keys = new Array[AnyRef](r.data.length)
+    val vals = new Array[AnyRef](r.data.length)
+    var i = 0
+    r.data.foreach { case (k, v) =>
+      keys(i) = UTF8String.fromString(k)
+      vals(i) = UTF8String.fromString(v)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(r.text),
+      new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))))
+  }
+
+  def canonicalize(url: UTF8String): UTF8String =
+    UTF8String.fromString(UrlCanonicalizer.canonicalize(url.toString))
+
+  def canonHash(url: UTF8String): Long =
+    UrlCanonicalizer.urlHash(url.toString)
+
+  def host(url: UTF8String): UTF8String =
+    UTF8String.fromString(UrlCanonicalizer.host(url.toString))
+
+  def resolveUrl(base: UTF8String, href: UTF8String): UTF8String =
+    UTF8String.fromString(UrlCanonicalizer.resolve(base.toString, href.toString))
+}

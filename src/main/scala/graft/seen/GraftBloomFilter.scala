@@ -1,0 +1,115 @@
+package graft.seen
+
+import graft.util.XxHash64
+
+/** From-scratch Bloom filter over 64-bit url_hash values — one *segment* of
+  * the partitioned URL-seen set (SURVEY.md §2 north-rule extensions).
+  *
+  * Replaces the reference's seen-set, which was DynamoDB hash-key
+  * put-overwrite idempotency (`scrape-pdfs-from-website/lambda.ts:94-100`,
+  * README.md:63) — O(1) per URL but a network round-trip per item and
+  * unshardable by the engine. Here: `P = url_hash mod P` segments, each an
+  * independent bit array, built/merged executor-side via
+  * [[BloomBuildAgg]] and only ever moved as opaque `binary` column values.
+  *
+  * Design-scale sizing (10^10 URLs, documented obligation): at target FPR
+  * 1e-3, m/n = -ln(p)/ln(2)^2 ≈ 14.38 bits/key, k = 10 hashes. With
+  * P = 4096 segments each segment holds ~2.44M keys in ~4.4 MB — well under
+  * both the 2 GB array cap and executor memory; the whole seen set is
+  * ~18 GB spread across the cluster, never materialized on the driver.
+  *
+  * Double hashing (Kirsch–Mitzenmatcher): index_i = h1 + i·h2 mod m, with
+  * h1 = key, h2 = xxh64(key) — no per-probe rehash of the key bytes.
+  */
+final class GraftBloomFilter private (
+    val numBits: Long,
+    val numHashes: Int,
+    private[seen] val words: Array[Long]) extends Serializable {
+
+  private[seen] var itemsInserted: Long = 0L
+
+  def insert(key: Long): Unit = {
+    val h2 = XxHash64.hashLong(key, GraftBloomFilter.H2Seed)
+    var i = 0
+    var combined = key
+    while (i < numHashes) {
+      val bit = (combined & Long.MaxValue) % numBits
+      words((bit >>> 6).toInt) |= (1L << (bit & 63))
+      combined += h2
+      i += 1
+    }
+    itemsInserted += 1
+  }
+
+  def mightContain(key: Long): Boolean = {
+    val h2 = XxHash64.hashLong(key, GraftBloomFilter.H2Seed)
+    var i = 0
+    var combined = key
+    while (i < numHashes) {
+      val bit = (combined & Long.MaxValue) % numBits
+      if ((words((bit >>> 6).toInt) & (1L << (bit & 63))) == 0L) return false
+      combined += h2
+      i += 1
+    }
+    true
+  }
+
+  /** Bitwise OR merge; segments must share geometry. */
+  def mergeInPlace(other: GraftBloomFilter): GraftBloomFilter = {
+    require(other.numBits == numBits && other.numHashes == numHashes,
+      s"incompatible bloom geometry: ($numBits,$numHashes) vs (${other.numBits},${other.numHashes})")
+    var i = 0
+    while (i < words.length) { words(i) |= other.words(i); i += 1 }
+    itemsInserted += other.itemsInserted
+    this
+  }
+
+  def serialized: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 4 + 8 + 8 + words.length * 8)
+    bb.putInt(GraftBloomFilter.Magic)
+    bb.putInt(numHashes)
+    bb.putLong(numBits)
+    bb.putLong(itemsInserted)
+    var i = 0
+    while (i < words.length) { bb.putLong(words(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object GraftBloomFilter {
+  private[seen] final val Magic = 0x47424c4d // "GBLM"
+  private[seen] final val H2Seed = 0x27d4eb2fL
+
+  def create(numBits: Long, numHashes: Int): GraftBloomFilter = {
+    require(numBits > 0 && numBits <= (Int.MaxValue.toLong - 8) * 64, s"numBits out of range: $numBits")
+    require(numHashes > 0 && numHashes <= 64)
+    new GraftBloomFilter(numBits, numHashes, new Array[Long](((numBits + 63) >>> 6).toInt))
+  }
+
+  /** Standard optimal sizing for expected n keys at false-positive rate p. */
+  def forExpected(n: Long, fpp: Double): GraftBloomFilter = {
+    val bits = optimalNumBits(n, fpp)
+    create(bits, optimalNumHashes(n, bits))
+  }
+
+  def optimalNumBits(n: Long, fpp: Double): Long =
+    math.max(64L, math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+
+  def optimalNumHashes(n: Long, m: Long): Int =
+    math.max(1, math.round(m.toDouble / math.max(1L, n) * math.log(2)).toInt)
+
+  def deserialize(bytes: Array[Byte]): GraftBloomFilter = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val magic = bb.getInt
+    require(magic == Magic, f"not a graft bloom segment (magic 0x$magic%08x)")
+    val k = bb.getInt
+    val numBits = bb.getLong
+    val items = bb.getLong
+    val words = new Array[Long](((numBits + 63) >>> 6).toInt)
+    var i = 0
+    while (i < words.length) { words(i) = bb.getLong; i += 1 }
+    val f = new GraftBloomFilter(numBits, k, words)
+    f.itemsInserted = items
+    f
+  }
+}

@@ -1,0 +1,130 @@
+package graft.seen
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.FrontierEntry
+
+/** The partitioned URL-seen set: first-discovery-wins dedup at 10^10-URL
+  * design scale (replaces the reference's DynamoDB put-overwrite
+  * idempotency, `scrape-pdfs-from-website/lambda.ts:94-100`, README.md:63).
+  *
+  * Layout: the `seen` table holds one row per hash partition —
+  * `(partition_id int, segment binary, n_items long)` with
+  * `partition_id = pmod(url_hash, P)`. Segments are Bloom
+  * ([[GraftBloomFilter]]) or cuckoo ([[GraftCuckooFilter]]) blobs.
+  *
+  * Probe strategy (scale rationale):
+  *  - candidates are shuffled once by `pmod(url_hash, P)` and cogrouped
+  *    with their segment — each task deserializes its segment ONCE and
+  *    streams candidates through it (never a per-row deserialize, never a
+  *    driver collect);
+  *  - Bloom negatives are *definitely new*: they skip the exact confirm
+  *    entirely. For a crawl where most candidates are new, this removes
+  *    the 10^10-row frontier from the hot path;
+  *  - Bloom positives (true dups + ~1e-3 false positives) are exact-
+  *    confirmed with a left-anti join against the frontier keyed by
+  *    url_hash — small probe side, and the frontier is stored hash-
+  *    bucketed so AQE plans a cheap join. No false positive ever drops a
+  *    genuinely-new URL; no false negative exists by Bloom construction.
+  */
+object SeenSet {
+
+  /** Number of seen-set hash partitions. 4096 at 10^10-URL design scale
+    * (~2.4M keys / ~4.4MB Bloom segment each); small here so local tests
+    * exercise multi-segment paths. */
+  val DefaultPartitions = 64
+
+  final case class Segment(partition_id: Int, segment: Array[Byte], n_items: Long)
+
+  def emptySegments(spark: SparkSession): Dataset[Segment] = {
+    import spark.implicits._
+    spark.emptyDataset[Segment]
+  }
+
+  /** Exact dedup: candidates minus already-seen url_hashes (left anti). */
+  def filterNewExact(candidates: Dataset[FrontierEntry], seenHashes: DataFrame): Dataset[FrontierEntry] = {
+    import candidates.sparkSession.implicits._
+    candidates
+      .join(seenHashes.select(col("url_hash")), Seq("url_hash"), "left_anti")
+      .as[FrontierEntry]
+  }
+
+  /** Approximate-filter pre-screen + exact confirm (see object doc). */
+  def filterNewFiltered(
+      candidates: Dataset[FrontierEntry],
+      segments: Dataset[Segment],
+      seenHashes: DataFrame,
+      p: Int = DefaultPartitions): Dataset[FrontierEntry] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+
+    val keyed = candidates.groupByKey(c => (math.floorMod(c.url_hash, p.toLong)).toInt)
+    val segKeyed = segments.groupByKey(_.partition_id)
+
+    // (candidate, maybeSeen); segment deserialized once per group
+    val probed: Dataset[(FrontierEntry, Boolean)] = keyed.cogroup(segKeyed) {
+      (_, cands, segs) =>
+        val segList = segs.toList
+        if (segList.isEmpty) cands.map(c => (c, false))
+        else {
+          val probes = segList.map(s => SeenSegments.probeFn(s.segment))
+          cands.map(c => (c, probes.exists(_(c.url_hash))))
+        }
+    }
+
+    val definitelyNew = probed.filter(!_._2).map(_._1)
+    val maybeSeen = probed.filter(_._2).map(_._1)
+    val confirmedNew = maybeSeen
+      .join(seenHashes.select(col("url_hash")), Seq("url_hash"), "left_anti")
+      .as[FrontierEntry]
+    definitelyNew.unionByName(confirmedNew)
+  }
+
+  /** Build one delta segment per touched partition from newly admitted
+    * hashes. Partial aggregation ORs executor-local segments before the
+    * shuffle — only ≤P blobs move. */
+  def buildDeltaSegments(
+      newHashes: DataFrame, // must contain url_hash: long
+      p: Int = DefaultPartitions,
+      expectedPerSegment: Long = 1L << 16,
+      fpp: Double = 1e-3,
+      kind: String = "bloom"): Dataset[Segment] = {
+    val spark = newHashes.sparkSession
+    import spark.implicits._
+    val bits = GraftBloomFilter.optimalNumBits(expectedPerSegment, fpp)
+    val k = GraftBloomFilter.optimalNumHashes(expectedPerSegment, bits)
+    val buildCol = kind match {
+      case "bloom" => SeenSegments.bloom_build(col("url_hash"), bits, k)
+      case "cuckoo" =>
+        val lg = {
+          val buckets = math.max(2L, (expectedPerSegment / (GraftCuckooFilter.SlotsPerBucket * 0.95)).toLong + 1)
+          var l = 1; while ((1L << l) < buckets) l += 1; l
+        }
+        SeenSegments.cuckoo_build(col("url_hash"), lg)
+      case other => throw new IllegalArgumentException(s"unknown seen-set kind: $other")
+    }
+    newHashes
+      .groupBy(pmod(col("url_hash"), lit(p.toLong)).cast("int").as("partition_id"))
+      .agg(buildCol.as("segment"), count(lit(1)).as("n_items"))
+      .as[Segment]
+  }
+
+  /** Fold delta segments into the previous snapshot's segments: a P-row
+    * cogroup, each merge a bitwise OR (Bloom) / fingerprint re-insert
+    * (cuckoo). History is never rehashed. */
+  def mergeSegments(existing: Dataset[Segment], delta: Dataset[Segment]): Dataset[Segment] = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    existing.groupByKey(_.partition_id).cogroup(delta.groupByKey(_.partition_id)) {
+      (pid, oldSegs, newSegs) =>
+        val all = (oldSegs ++ newSegs).toList
+        all match {
+          case Nil => Iterator.empty
+          case head :: tail =>
+            val mergedBytes = tail.foldLeft(head.segment)((acc, s) => SeenSegments.merge(acc, s.segment))
+            Iterator.single(Segment(pid, mergedBytes, all.map(_.n_items).sum))
+        }
+    }
+  }
+}
