@@ -1,0 +1,237 @@
+package graft.crawl
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.lake.CrawlLake
+import graft.model._
+import graft.operators.{Politeness, RobotsFilter}
+import graft.seen.SeenSet
+
+/** Engine configuration. Defaults match the reference's semantics where one
+  * exists (budget 5 = the `slice(0, 5)` cost guard; blockCap 1000 = the
+  * no-NextToken first-page quirk). */
+final case class CrawlConfig(
+    budget: Int = 5,
+    seenPartitions: Int = SeenSet.DefaultPartitions,
+    seenKind: String = "bloom",
+    expectedPerSegment: Long = 1L << 16,
+    /** reference parity: Some("DownloadDocumentPDF") replicates the Op-4
+      * predicate (`scrape-pdfs-from-website/lambda.ts:65-67`); None crawls
+      * every discovered link. */
+    linkFilterContains: Option[String] = None,
+    maxDepth: Int = Int.MaxValue,
+    blockCap: Int = 1000)
+
+final case class TickStats(
+    batchId: Long,
+    scheduled: Long,
+    fetched: Long,
+    failed: Long,
+    discovered: Long,
+    admittedNew: Long)
+
+/** The crawl engine's micro-batch loop: one `tick()` = one discovery→dedup→
+  * schedule→fetch→extract→commit cycle (SURVEY.md §3 "Spark lifecycle").
+  * The reference's four process hops (EventBridge tick → DynamoDB stream →
+  * S3 event → SNS, `stack.ts:98-210`) collapse into this loop; each arrow
+  * is a Catalyst-planned DataFrame op and the only node boundaries are the
+  * politeness shuffle and the commit.
+  *
+  * State model (all in [[CrawlLake]], committed atomically per tick):
+  *  - `frontier`  append-only, exactly one row per canonical url_hash
+  *    (first-discovery-wins at insert) — membership IS the seen set;
+  *  - `seen`      Bloom/cuckoo segments over frontier hashes (replace);
+  *  - `fetch_log` lineage: every scheduled URL with status/bytes/partition;
+  *    PENDING = frontier ∖ fetch_log, so state is derived, never mutated;
+  *  - `extracted` deterministic text+KV per fetched page.
+  *
+  * Scale shape per tick (10^10 frontier, 100 TB pages):
+  *  1. pending: anti-join frontier ∖ fetch_log — both hash-keyed; bucket
+  *     both tables by url_hash and this is a co-partitioned join, no wide
+  *     shuffle;
+  *  2. robots: broadcast join (dimension ≪ frontier);
+  *  3. politeness: window with pre-shuffle WindowGroupLimit (see
+  *     [[Politeness]]) — shuffle carries O(hosts·budget) rows only;
+  *  4. fetch: inner join pages ⋈ broadcast(scheduled batch): the scheduled
+  *     batch is small by construction (politeness-capped), so it becomes
+  *     the broadcast build side and at scale the pages scan is pruned by
+  *     DPP/bucketing on url_hash — never a full-corpus shuffle;
+  *  5. extraction runs inside whole-stage codegen ([[graft.functions.ExtractDocument]]);
+  *  6. seen probe: cogrouped segment probe + exact confirm ([[SeenSet]]).
+  */
+final class CrawlDriver(
+    spark: SparkSession,
+    lake: CrawlLake,
+    pages: DataFrame,
+    robots: Dataset[RobotsEntry],
+    cfg: CrawlConfig = CrawlConfig()) {
+
+  import spark.implicits._
+
+  private val frontierSchema = Encoders.product[FrontierEntry].schema
+  private val fetchSchema = Encoders.product[FetchRecord].schema
+  private val extractedSchema = Encoders.product[Extracted].schema
+  private val segmentSchema = Encoders.product[SeenSet.Segment].schema
+
+  /** Deterministic batch timestamps: epoch base + batch minutes. Wall clock
+    * never enters the data (SURVEY.md §7.3(d) resume-exactness). */
+  def tickTs(b: Long): Timestamp = graft.sim.ReferenceSimulator.tickTs(b)
+
+  private def pagesKeyed: DataFrame =
+    pages.select(url_hash64(col("url")).as("url_hash"), col("html"))
+
+  def frontier: DataFrame = lake.read("frontier", frontierSchema)
+  def fetchLog: DataFrame = lake.read("fetch_log", fetchSchema)
+  def extracted: DataFrame = lake.read("extracted", extractedSchema)
+  private def seenSegments: Dataset[SeenSet.Segment] =
+    lake.read("seen", segmentSchema).as[SeenSet.Segment]
+
+  /** Snapshot 0: seed list → frontier + seen segments. */
+  def init(seeds: Seq[Seed]): Long = {
+    val seedRows = seeds.zipWithIndex.map { case (s, i) =>
+      val cu = graft.util.UrlCanonicalizer.canonicalize(s.url)
+      FrontierEntry(
+        graft.util.UrlCanonicalizer.urlHash(s.url), cu,
+        graft.util.UrlCanonicalizer.host(cu), s.depth, tickTs(0L), i.toLong, 0L, s.depth.toDouble)
+    }
+    // first-seed-wins on duplicate canonical urls
+    val distinctSeeds = seedRows.groupBy(_.url_hash).map(_._2.minBy(_.seq_in_page)).toSeq
+    val frontierDf = spark.createDataset(distinctSeeds).toDF()
+    val segments = SeenSet.buildDeltaSegments(
+      frontierDf.select("url_hash"), cfg.seenPartitions, cfg.expectedPerSegment, kind = cfg.seenKind)
+    lake.commit(0L, appends = Map("frontier" -> frontierDf), replaces = Map("seen" -> segments.toDF()))
+  }
+
+  /** One micro-batch. Returns stats; commits snapshot batchId atomically. */
+  def tick(): TickStats = {
+    val batchId = lake.latestSnapshotId
+      .map(id => lake.batchIdOf(id) + 1)
+      .getOrElse(throw new IllegalStateException("call init() first"))
+    runBatch(batchId)
+  }
+
+  private def runBatch(batchId: Long): TickStats = {
+    val ts = tickTs(batchId)
+
+    val pending = frontier.join(fetchLog.select("url_hash"), Seq("url_hash"), "left_anti")
+    val allowed = RobotsFilter.filterAllowed(pending, robots)
+    val scheduled = Politeness.schedule(allowed, cfg.budget).persist()
+
+    // fetch = pages ⋈ broadcast(scheduled); misses become FAILED lineage rows
+    val hit = pagesKeyed
+      .join(broadcast(scheduled), Seq("url_hash"), "inner")
+      .persist()
+    val missing = scheduled.join(hit.select("url_hash"), Seq("url_hash"), "left_anti")
+
+    val fetchRows = hit
+      .select(
+        col("url_hash"), col("url"), col("host"),
+        lit(ts).as("fetch_ts"), lit(200).as("status"),
+        length(col("html")).cast("long").as("bytes"),
+        spark_partition_id().as("partition_id"), lit(batchId).as("batch_id"))
+      .unionByName(missing.select(
+        col("url_hash"), col("url"), col("host"),
+        lit(ts).as("fetch_ts"), lit(404).as("status"),
+        lit(0L).as("bytes"),
+        spark_partition_id().as("partition_id"), lit(batchId).as("batch_id")))
+
+    val extractedRows = hit
+      .select(col("url_hash"), col("url"), col("html"),
+        extract_document(col("html"), cfg.blockCap).as("doc"))
+      .select(
+        col("url_hash"), col("url"),
+        lower(hex(col("url_hash"))).as("job_id"),
+        col("doc.data").as("data"), col("doc.text").as("extracted_text"),
+        lit(ts).as("extract_ts"), lit(batchId).as("batch_id"))
+
+    // discovery: links of fetched pages, document order preserved
+    val rawLinks = hit
+      .select(
+        col("url_hash").as("src_hash"), col("depth").as("src_depth"),
+        posexplode(extract_links(col("html"), col("url"))).as(Seq("seq_in_page", "link")))
+    val filteredLinks = cfg.linkFilterContains
+      .map(s => rawLinks.where(col("link").contains(s)))
+      .getOrElse(rawLinks)
+      .where(col("src_depth") + 1 <= cfg.maxDepth)
+
+    val candidates = filteredLinks
+      .select(
+        url_hash64(col("link")).as("url_hash"),
+        canonicalize_url(col("link")).as("url"),
+        url_host(canonicalize_url(col("link"))).as("host"),
+        (col("src_depth") + 1).as("depth"),
+        lit(ts).as("discovery_ts"),
+        col("seq_in_page").cast("long").as("seq_in_page"),
+        col("src_hash"),
+        (col("src_depth") + 1).cast("double").as("priority"))
+
+    // within-batch first-discovery-wins: the total order (depth, ts, seq, src)
+    val batchDedup = candidates
+      .groupBy(col("url_hash"))
+      .agg(min_by(
+        struct(col("url"), col("host"), col("depth"), col("discovery_ts"),
+          col("seq_in_page"), col("src_hash"), col("priority")),
+        struct(col("depth"), col("discovery_ts"), col("seq_in_page"), col("src_hash"))).as("w"))
+      .select(col("url_hash"), col("w.*"))
+      .as[FrontierEntry]
+
+    // cross-batch dedup: bloom/cuckoo pre-screen, exact confirm
+    val fresh = SeenSet
+      .filterNewFiltered(batchDedup, seenSegments, frontier.select("url_hash"), cfg.seenPartitions)
+      .toDF()
+      .persist()
+
+    val stats = TickStats(
+      batchId,
+      scheduled = scheduled.count(),
+      fetched = hit.count(),
+      failed = 0L, // patched below
+      discovered = 0L,
+      admittedNew = fresh.count())
+    val failedCount = stats.scheduled - stats.fetched
+
+    val deltaSegments = SeenSet.buildDeltaSegments(
+      fresh.select("url_hash"), cfg.seenPartitions, cfg.expectedPerSegment, kind = cfg.seenKind)
+    val mergedSegments = SeenSet.mergeSegments(seenSegments, deltaSegments)
+
+    lake.commit(
+      batchId,
+      appends = Map(
+        "frontier" -> fresh,
+        "fetch_log" -> fetchRows,
+        "extracted" -> extractedRows),
+      replaces = Map("seen" -> mergedSegments.toDF()))
+
+    scheduled.unpersist()
+    hit.unpersist()
+    fresh.unpersist()
+    stats.copy(failed = failedCount)
+  }
+
+  /** Run `n` ticks; stops early when a tick schedules nothing. */
+  def run(n: Int): Seq[TickStats] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[TickStats]
+    var i = 0
+    var done = false
+    while (i < n && !done) {
+      val s = tick()
+      out += s
+      if (s.scheduled == 0) done = true
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** The deterministic global crawl order so far (lineage view): every
+    * scheduled fetch in (batch_id, priority-chain) order. */
+  def crawlOrder(): DataFrame = {
+    val withOrder = fetchLog
+      .join(frontier.select("url_hash", "depth", "discovery_ts", "seq_in_page", "priority"), Seq("url_hash"))
+    Politeness.globalOrder(withOrder)
+      .select("batch_id", "url_hash", "url", "host", "depth", "status")
+  }
+}

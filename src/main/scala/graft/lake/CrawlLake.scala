@@ -1,0 +1,130 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Iceberg-style snapshot/manifest commit layer over Parquet (SURVEY.md
+  * §7.1: the sandbox ships no Iceberg jar, so the engine owns a thin,
+  * Iceberg-shaped layer — snapshots, manifests, atomic commit, time-travel
+  * reads — with an interface a real Iceberg catalog can replace drop-in).
+  *
+  * One snapshot covers ALL engine tables at once, giving the atomic
+  * cross-table batch commit the north rule requires ("every micro-batch
+  * commits frontier deltas, seen-filter segments, and per-partition fetch
+  * lineage/metrics ... so the crawl resumes exactly from checkpoint").
+  * The reference had no such coupling — its unawaited S3 upload
+  * (`download-pdf-to-s3/lambda.ts:111-126`) could silently lose data at a
+  * stage boundary; here a tick either commits everywhere or nowhere.
+  *
+  * Layout:
+  * {{{
+  * root/
+  *   data/<table>/batch-<id>/part-*.parquet   // spark write output dirs
+  *   snapshots/v<N>.json                      // manifest: table -> [data dirs]
+  *   snapshots/LATEST                         // current snapshot id (atomic move)
+  * }}}
+  *
+  * Commit protocol: (1) write data dirs (Spark's task-commit protocol makes
+  * each dir all-or-nothing), (2) write v<N>.json, (3) atomically move a tmp
+  * file onto LATEST. A crash before (3) leaves orphan data dirs that no
+  * manifest references — invisible to readers, GC-able.
+  *
+  * Append vs replace per table: `append` tables accumulate dirs across
+  * snapshots (frontier/fetch_log/extracted); `replace` tables list only the
+  * newest dirs (seen segments, P small rows rewritten per batch).
+  */
+final class CrawlLake(val root: String, spark: SparkSession) {
+  private val mapper = new ObjectMapper()
+  private val rootPath = Paths.get(root)
+  private val snapDir = rootPath.resolve("snapshots")
+  Files.createDirectories(snapDir)
+  Files.createDirectories(rootPath.resolve("data"))
+
+  def latestSnapshotId: Option[Long] = {
+    val latest = snapDir.resolve("LATEST")
+    if (Files.exists(latest)) Some(Files.readString(latest).trim.toLong) else None
+  }
+
+  private def manifestPath(id: Long): Path = snapDir.resolve(s"v$id.json")
+
+  /** The batch id recorded in snapshot `id`'s manifest. */
+  def batchIdOf(id: Long): Long =
+    mapper.readTree(Files.readString(manifestPath(id))).get("batch_id").asLong()
+
+  /** table -> list of data dirs, for snapshot `id`. */
+  def manifest(id: Long): Map[String, Vector[String]] = {
+    val node = mapper.readTree(Files.readString(manifestPath(id)))
+    val tables = node.get("tables").asInstanceOf[ObjectNode]
+    tables.fieldNames().asScala.map { name =>
+      name -> tables.get(name).asInstanceOf[ArrayNode].asScala.map(_.asText()).toVector
+    }.toMap
+  }
+
+  /** Read a table at a snapshot (default: latest). Empty table -> empty
+    * DataFrame with the supplied schema (callers always pass one so plans
+    * resolve even at snapshot 0). */
+  def read(table: String, schema: StructType, snapshotId: Option[Long] = None): DataFrame = {
+    val snap = snapshotId.orElse(latestSnapshotId)
+    val dirs = snap.map(manifest(_).getOrElse(table, Vector.empty)).getOrElse(Vector.empty)
+    if (dirs.isEmpty) spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
+  }
+
+  /** Atomically commit the next snapshot.
+    * @param appends  table -> DataFrame to append (new dirs + inherited dirs)
+    * @param replaces table -> DataFrame replacing the table's content
+    */
+  def commit(
+      batchId: Long,
+      appends: Map[String, DataFrame],
+      replaces: Map[String, DataFrame] = Map.empty): Long = {
+    val prevId = latestSnapshotId
+    val nextId = prevId.map(_ + 1).getOrElse(0L)
+    val prev: Map[String, Vector[String]] = prevId.map(manifest).getOrElse(Map.empty)
+
+    def writeDir(table: String, df: DataFrame): Option[String] = {
+      val dir = rootPath.resolve("data").resolve(table).resolve(f"batch-$batchId%06d").toString
+      df.write.mode("overwrite").parquet(dir)
+      // skip dirs with no rows to keep manifests tight
+      val hasData = Files.list(Paths.get(dir)).iterator().asScala
+        .exists(p => p.getFileName.toString.endsWith(".parquet"))
+      if (hasData) Some(dir) else None
+    }
+
+    val updated = scala.collection.mutable.Map[String, Vector[String]](prev.toSeq: _*)
+    appends.foreach { case (t, df) =>
+      val nd = writeDir(t, df)
+      updated(t) = prev.getOrElse(t, Vector.empty) ++ nd
+    }
+    replaces.foreach { case (t, df) =>
+      val nd = writeDir(t, df)
+      updated(t) = nd.toVector
+    }
+
+    val rootNode = mapper.createObjectNode()
+    rootNode.put("id", nextId)
+    rootNode.put("batch_id", batchId)
+    val tablesNode = rootNode.putObject("tables")
+    updated.toSeq.sortBy(_._1).foreach { case (t, dirs) =>
+      val arr = tablesNode.putArray(t)
+      dirs.foreach(arr.add)
+    }
+    Files.writeString(manifestPath(nextId), mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rootNode))
+
+    val tmp = snapDir.resolve(s".LATEST.tmp.$nextId")
+    Files.writeString(tmp, nextId.toString)
+    Files.move(tmp, snapDir.resolve("LATEST"), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    nextId
+  }
+}
+
+object CrawlLake {
+  def apply(root: String, spark: SparkSession): CrawlLake = new CrawlLake(root, spark)
+}

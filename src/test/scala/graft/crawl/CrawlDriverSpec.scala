@@ -1,0 +1,163 @@
+package graft.crawl
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.lake.CrawlLake
+import graft.operators.RobotsMatcher
+import graft.sim.ReferenceSimulator
+import graft.synth.PageSynth
+import graft.util.UrlCanonicalizer
+
+class CrawlDriverSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val N = 150L
+  private lazy val corpus = PageSynth.pages(N)
+  private lazy val robotsEntries = PageSynth.robots()
+  private lazy val robotsMap = robotsEntries.map(e => e.host -> e).toMap
+  private lazy val seedUrls = PageSynth.seeds(N, 3).map(_.url)
+
+  private def newDriver(cfg: CrawlConfig, pagesPartitions: Int = 4): (CrawlDriver, CrawlLake) = {
+    val lake = CrawlLake(Files.createTempDirectory("graft-lake").toString, spark)
+    val pagesDf = spark.createDataFrame(corpus.map(_.page)).repartition(pagesPartitions)
+    val robotsDs = spark.createDataset(robotsEntries)
+    (new CrawlDriver(spark, lake, pagesDf, robotsDs, cfg), lake)
+  }
+
+  private def simResult(budget: Int, ticks: Int) =
+    ReferenceSimulator.crawl(corpus, seedUrls, budget, ticks, robotsMap)
+
+  private def engineOrder(d: CrawlDriver): Vector[(Long, Long, Int)] =
+    d.crawlOrder().select("batch_id", "url_hash", "status")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toVector
+
+  test("crawl order + seen set + extracted text match the sequential oracle exactly") {
+    val cfg = CrawlConfig(budget = 2, seenPartitions = 8, expectedPerSegment = 4096)
+    val (driver, _) = newDriver(cfg)
+    driver.init(PageSynth.seeds(N, 3))
+    driver.run(3)
+
+    val sim = simResult(budget = 2, ticks = 3)
+
+    val simOrder = sim.crawlOrder.map(r => (r.batchId, r.urlHash, r.status))
+    assert(engineOrder(driver) == simOrder)
+
+    val engineSeen = driver.frontier.select("url_hash").as[Long].collect().toSet
+    assert(engineSeen == sim.seenHashes)
+
+    val engineTexts = driver.extracted
+      .select("url_hash", "extracted_text").as[(Long, String)].collect().toMap
+    assert(engineTexts == sim.extractedTexts) // byte-identical per url
+  }
+
+  test("robots rules are enforced (disallowed host pages never scheduled)") {
+    val cfg = CrawlConfig(budget = 3, seenPartitions = 8, expectedPerSegment = 4096)
+    val (driver, _) = newDriver(cfg)
+    driver.init(PageSynth.seeds(N, 5))
+    driver.run(3)
+    val fetchedUrls = driver.fetchLog.select("url").as[String].collect()
+    fetchedUrls.foreach { u =>
+      val host = UrlCanonicalizer.host(u)
+      assert(RobotsMatcher.allowedUrl(robotsMap, host, u), s"robots violation: $u")
+      assert(host != PageSynth.hostName(2), s"disallow-all host fetched: $u")
+    }
+    // host1 pages under /page/ are blocked, so only its document urls appear
+    fetchedUrls.filter(_.contains(PageSynth.hostName(1))).foreach { u =>
+      assert(!RobotsMatcher.pathOf(u).startsWith("/page/"), u)
+    }
+  }
+
+  test("politeness: never more than budget fetches per host per tick") {
+    val cfg = CrawlConfig(budget = 2, seenPartitions = 8, expectedPerSegment = 4096)
+    val (driver, _) = newDriver(cfg)
+    driver.init(PageSynth.seeds(N, 4))
+    driver.run(4)
+    val over = driver.fetchLog
+      .groupBy("batch_id", "host").count().where($"count" > 2).count()
+    assert(over == 0)
+  }
+
+  test("crawl order is invariant to partitioning and shuffle width") {
+    val cfg = CrawlConfig(budget = 2, seenPartitions = 8, expectedPerSegment = 4096)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val (d1, _) = newDriver(cfg, pagesPartitions = 1)
+    driverRun(d1)
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    val (d2, _) = try { val t = newDriver(cfg, pagesPartitions = 7); driverRun(t._1); t }
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert(engineOrder(d1) == engineOrder(d2))
+    assert(d1.frontier.select("url_hash").as[Long].collect().toSet ==
+      d2.frontier.select("url_hash").as[Long].collect().toSet)
+  }
+
+  private def driverRun(d: CrawlDriver): Unit = {
+    d.init(PageSynth.seeds(N, 3)); d.run(3); ()
+  }
+
+  test("kill-and-resume ≡ straight-through (checkpoint exactness)") {
+    val cfg = CrawlConfig(budget = 2, seenPartitions = 8, expectedPerSegment = 4096)
+    // straight-through: 5 ticks
+    val (dFull, _) = newDriver(cfg)
+    dFull.init(PageSynth.seeds(N, 3))
+    dFull.run(5)
+    // interrupted: 3 ticks, then a brand-new driver over the same lake
+    val (dPart, lake) = newDriver(cfg)
+    dPart.init(PageSynth.seeds(N, 3))
+    dPart.run(3)
+    val resumed = new CrawlDriver(
+      spark, lake, spark.createDataFrame(corpus.map(_.page)), spark.createDataset(robotsEntries), cfg)
+    resumed.run(2)
+    assert(engineOrder(dFull) == engineOrder(resumed))
+    assert(dFull.extracted.count() == resumed.extracted.count())
+    assert(dFull.frontier.select("url_hash").as[Long].collect().toSet ==
+      resumed.frontier.select("url_hash").as[Long].collect().toSet)
+  }
+
+  test("reference-literal parity: next-tick schedule = slice(0,5) of filtered doc-order links") {
+    // one seed page, the reference's filter + budget; the engine's tick-2
+    // schedule for that host must equal the reference's admitted order
+    // (filter -> slice(0,5) -> split/pop), per BASELINE.md.
+    val seedPage = corpus(7) // hub page (7 % 3 != 0)
+    val cfg = CrawlConfig(
+      budget = 5, seenPartitions = 8, expectedPerSegment = 4096,
+      linkFilterContains = Some("DownloadDocumentPDF"))
+    val lake = CrawlLake(Files.createTempDirectory("graft-lake-ref").toString, spark)
+    val driver = new CrawlDriver(
+      spark, lake, spark.createDataFrame(corpus.map(_.page)),
+      spark.createDataset(Seq.empty[graft.model.RobotsEntry]), cfg)
+    driver.init(Seq(graft.model.Seed(seedPage.page.url, 0, ReferenceSimulator.tickTs(0))))
+    driver.run(2)
+
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val admitted = ReferenceSimulator.referenceTick(seedPage.links, 5, seen)
+
+    val tick2 = driver.fetchLog.where($"batch_id" === 2)
+      .join(driver.frontier.select("url_hash", "seq_in_page"), Seq("url_hash"))
+      .orderBy("seq_in_page").select("url").as[String].collect().toVector
+    assert(tick2 == admitted.map(_._2).map(UrlCanonicalizer.canonicalize).toVector)
+
+    // seen-set parity: engine key = hash(canonical url); reference key =
+    // DocumentId. Bijection holds on this corpus (DocumentId=i <-> url(i)).
+    val engineTick2Hashes = tick2.map(UrlCanonicalizer.urlHash).toSet
+    val refHashes = seen.values.map(UrlCanonicalizer.urlHash).toSet
+    assert(engineTick2Hashes == refHashes)
+  }
+
+  test("tick stats are coherent and lineage covers every schedule") {
+    val cfg = CrawlConfig(budget = 2, seenPartitions = 8, expectedPerSegment = 4096)
+    val (driver, _) = newDriver(cfg)
+    driver.init(PageSynth.seeds(N, 3))
+    val stats = driver.run(3)
+    stats.foreach { s =>
+      assert(s.scheduled == s.fetched + s.failed)
+    }
+    val logCount = driver.fetchLog.count()
+    assert(logCount == stats.map(_.scheduled).sum)
+    assert(driver.extracted.count() == stats.map(_.fetched).sum)
+  }
+}
