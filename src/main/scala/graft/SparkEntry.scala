@@ -1,13 +1,297 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Similarity, TextAnalysis, TextDedup, TextHashFunctions}
+
+/** Driver contract (see the builder prompt + SURVEY.md §7.1).
+  *
+  * `queries` is the operator registry: one entry per implemented operator
+  * family from SURVEY.md §2 plus the training-data-pipeline operators, each
+  * runnable over `/root/testdata/sf*` and — where ANSI-SQL-expressible —
+  * DuckDB-checked via `oracleSql` (column names aligned on both sides).
+  * Crawl-specific operators that have no testdata analogue (link
+  * extraction, frontier, seen-set, robots, snapshot resume) are covered by
+  * the sbt test suite and the `entry` flagship below.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the full crawl engine on a synthetic sf0.001-scale corpus —
+    * discovery → dedup → politeness → fetch → extraction — returning the
+    * extracted table (driver smoke-checks rows > 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val corpus = graft.synth.PageSynth.pages(120L)
+    val pagesDf = spark.createDataFrame(corpus.map(_.page))
+    val robots = spark.createDataset(graft.synth.PageSynth.robots())(
+      org.apache.spark.sql.Encoders.product[graft.model.RobotsEntry])
+    val lake = graft.lake.CrawlLake(
+      java.nio.file.Files.createTempDirectory("graft-entry-lake").toString, spark)
+    val driver = new graft.crawl.CrawlDriver(
+      spark, lake, pagesDf, robots,
+      graft.crawl.CrawlConfig(budget = 3, seenPartitions = 8, expectedPerSegment = 1 << 12))
+    driver.init(graft.synth.PageSynth.seeds(120L, 4))
+    driver.run(2)
+    driver.extracted
+  }
+
+  // deterministic doubled corpus for the near-dup operators: every doc gets
+  // a shifted near-copy so dedup queries provably find pairs
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(d.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zz")).as("text")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- SURVEY §2 crawl-operator analogues over testdata ---
+    "q01_filter_contains" -> ((s, dir) =>
+      t(s, dir, "documents").where(col("text").contains("filter")).select("doc_id", "text")),
+
+    "q02_limit_topk" -> ((s, dir) =>
+      t(s, dir, "documents").orderBy(col("n_chars").desc, col("doc_id")).limit(5)
+        .select("doc_id", "n_chars")),
+
+    "q03_politeness_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    }),
+
+    "q04_key_extract" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"), regexp_extract(col("p_type"), "([^ ]+)$", 1).as("last_word"))),
+
+    "q05_projection_const" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id").as("itemId"),
+        lit("WELL ABANDONMENT REPORT (INTENT)").as("documentType"),
+        lit("02/03/2020").as("date"),
+        col("source").as("downloadUrl"))),
+
+    "q06_dedup_exact" -> ((s, dir) =>
+      TextDedup.exactGroups(t(s, dir, "documents"))),
+
+    "q07_null_guard" -> ((s, dir) =>
+      t(s, dir, "events").where(col("props").isNotNull && col("event_type").isNotNull)
+        .select("event_id", "user_id", "event_type")),
+
+    "q08_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer").join(
+        t(s, dir, "orders").select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    "q09_json_decode" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"), get_json_object(col("props"), "$.k").as("kval"))),
+
+    "q10_ordered_concat" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x("event_type")), " ").as("seq"))),
+
+    "q11_sanitize_keys" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_replace(lower(trim(col("p_name"))), "\\s", "_").as("skey"))),
+
+    "q12_last_wins_fold" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_type"))),
+
+    "q13_broadcast_join" -> ((s, dir) =>
+      t(s, dir, "nation").join(broadcast(t(s, dir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")),
+
+    "q14_agg_decimal" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          // sum in decimal for determinism, surface as double for a stable
+          // cross-engine representation (2-dp values are double-exact here)
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).as("n"))),
+
+    "q15_priority_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    }),
+
+    // --- training-data pipeline: text analysis ---
+    "q16_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+
+    "q17_quality_features" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityFeatures(col("text")).as("f"))
+        .select(col("doc_id"), col("f.n_chars").as("n_chars"), col("f.n_tokens").as("n_tokens"),
+          col("f.mean_token_len").as("mean_token_len"),
+          col("f.stopword_ratio").as("stopword_ratio"))),
+
+    "q18_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))),
+
+    "q19_fingerprint_md5" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.md5Fingerprint(col("text")).as("fp"))),
+
+    "q20_fingerprint_rolling" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextHashFunctions.doc_fingerprint(col("text")).as("fp"))),
+
+    // --- training-data pipeline: dedup family (near-dup pairs provably
+    //     non-empty via the doubled corpus) ---
+    "q21_minhash_lsh_dedup" -> ((s, dir) =>
+      TextDedup.minhashNearDups(docsWithNearDups(s, dir), threshold = 0.6)
+        .select("id_a", "id_b")),
+
+    "q22_simhash_dedup" -> ((s, dir) =>
+      TextDedup.simhashNearDups(docsWithNearDups(s, dir), maxHamming = 3)
+        .select("id_a", "id_b", "hamming")),
+
+    "q23_ngram_jaccard_dedup" -> ((s, dir) =>
+      TextDedup.ngramJaccardPairs(
+        docsWithNearDups(s, dir).where(col("doc_id") % 100 === 0), threshold = 0.8)
+        .select("id_a", "id_b")),
+
+    // --- training-data pipeline: similarity search ---
+    "q24_ann_quantized_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 3)
+      val c = emb.select(col("vec_id").as("nbr_id"), col("embedding").as("nbr_vec"))
+      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("dot").desc, col("nbr_id"))
+      c.crossJoin(broadcast(q))
+        .where(col("nbr_id") =!= col("query_id"))
+        .withColumn("dot", Similarity.quantizedDot(col("nbr_vec"), col("query_vec")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select("query_id", "nbr_id", "dot", "rank")
+    }),
+
+    "q25_ann_bruteforce_cosine" -> ((s, dir) =>
+      Similarity.bruteForceTopK(
+        t(s, dir, "embeddings"), t(s, dir, "embeddings").where(col("vec_id") < 3), k = 5)
+        .select("query_id", "nbr_id", "rank")),
+
+    "q26_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(
+        t(s, dir, "embeddings"), t(s, dir, "embeddings").where(col("vec_id") < 3),
+        k = 5, numBits = 4)
+        .select("query_id", "nbr_id", "rank")),
+
+    "q27_cosine_neardups" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val doubled = emb.unionByName(emb.select(
+        (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      Similarity.cosineNearDups(doubled, threshold = 0.999, numBits = 4)
+        .select("id_a", "id_b")
+    }))
+
+  // --- oracle SQL (DuckDB dialect of the same queries; aliases match) ---
+
+  private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  private def stopwordHitsSql(words: Seq[String]): String = {
+    val padded = s"concat(' ', $normSql, ' ')"
+    words.map { w =>
+      s"CAST((length($padded) - length(regexp_replace($padded, ' $w ', ' ', 'g'))) / ${w.length + 1} AS BIGINT)"
+    }.mkString(" + ")
+  }
+
+  private val langidSql: String = {
+    val langs = Seq(
+      "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "auf"),
+      "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es", "por", "con"),
+      "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "est", "pour", "dans"))
+    val scoreDefs = langs.map { case (l, ws) => s"${stopwordHitsSql(ws)} AS s_$l" }.mkString(", ")
+    val best = "greatest(s_en, s_de, s_es, s_fr)"
+    val cases = langs.map { case (l, _) => s"WHEN s_$l = $best AND $best > 0 THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_id
+       |FROM (SELECT doc_id, $scoreDefs FROM documents)""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_contains" ->
+      "SELECT doc_id, text FROM documents WHERE text LIKE '%filter%'",
+    "q02_limit_topk" ->
+      "SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 5",
+    "q03_politeness_window" ->
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
+    "q04_key_extract" ->
+      "SELECT p_partkey, regexp_extract(p_type, '([^ ]+)$', 1) AS last_word FROM part",
+    "q05_projection_const" ->
+      """SELECT doc_id AS itemId, 'WELL ABANDONMENT REPORT (INTENT)' AS documentType,
+        |'02/03/2020' AS date, source AS downloadUrl FROM documents""".stripMargin,
+    "q06_dedup_exact" ->
+      s"""SELECT md5($normSql) AS text_hash, min(doc_id) AS survivor_id,
+         |count(*) AS group_size FROM documents GROUP BY 1""".stripMargin,
+    "q07_null_guard" ->
+      "SELECT event_id, user_id, event_type FROM events WHERE props IS NOT NULL AND event_type IS NOT NULL",
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q09_json_decode" ->
+      "SELECT event_id, json_extract_string(props, '$.k') AS kval FROM events",
+    "q10_ordered_concat" ->
+      "SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq FROM events GROUP BY user_id",
+    "q11_sanitize_keys" ->
+      """SELECT p_partkey, regexp_replace(lower(trim(p_name)), '\s', '_', 'g') AS skey FROM part""",
+    "q12_last_wins_fold" ->
+      "SELECT user_id, (list(event_type ORDER BY ts, event_id))[-1] AS last_type FROM events GROUP BY user_id",
+    "q13_broadcast_join" ->
+      "SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey",
+    "q14_agg_decimal" ->
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |count(*) AS n FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q15_priority_rank" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
+    "q16_token_count" ->
+      "SELECT doc_id, len(regexp_split_to_array(trim(text), ' +')) AS n_tokens FROM documents",
+    "q17_quality_features" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len(regexp_split_to_array(trim(text), ' +')) AS n_tokens,
+         |  CAST(length(text) AS DOUBLE) / len(regexp_split_to_array(trim(text), ' +')) AS mean_token_len,
+         |  CAST(${stopwordHitsSql(Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"))} AS DOUBLE)
+         |    / greatest(len(regexp_split_to_array(trim(text), ' +')), 1) AS stopword_ratio
+         |FROM documents""".stripMargin,
+    "q18_langid" -> langidSql,
+    "q19_fingerprint_md5" ->
+      s"SELECT doc_id, md5($normSql) AS fp FROM documents",
+    "q24_ann_quantized_topk" ->
+      """WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 3),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS nbr_id,
+        |    CAST(list_sum(list_transform(list_zip(c.embedding, q.query_vec),
+        |      p -> CAST(round(p[1]*1000) AS BIGINT) * CAST(round(p[2]*1000) AS BIGINT))) AS BIGINT) AS dot
+        |  FROM corpus c, q WHERE c.vec_id <> q.query_id)
+        |SELECT query_id, nbr_id, dot, rank FROM (
+        |  SELECT query_id, nbr_id, dot,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, nbr_id) AS rank
+        |  FROM scored) WHERE rank <= 5""".stripMargin
+    // q20-q23, q25-q27: hash-chain / LSH / float-cosine operators — not
+    // ANSI-SQL-reproducible in DuckDB; driver records rows-only checks.
+  )
 }

@@ -1,0 +1,107 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two paths, per the usual ANN playbook:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small) query
+  *    set against the corpus, one corpus scan, per-query ranked window.
+  *    Exact baseline and recall oracle.
+  *  - [[lshTopK]]: random-hyperplane LSH buckets (computed scan-side by the
+  *    [[RhLshBucket]] expression, no plane matrix shipped) — candidates are
+  *    bucket-join collisions, so the corpus is never cross-joined. The
+  *    scale path: shuffle keys are (bucket) longs, and recall/latency trades
+  *    via `numBits` (fewer bits → bigger buckets → higher recall).
+  * All arithmetic in double; deterministic tie-break by vec id.
+  */
+object Similarity {
+
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Integer-quantized dot product (×1000, HALF_UP) — exactly reproducible
+    * across engines, used by the DuckDB oracle. */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * 1000).cast("long") * round(y.cast("double") * 1000).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Exact top-k cosine neighbors for every query row.
+    * @param corpus  (idCol, vecCol) big side
+    * @param queries (idCol, vecCol) small side — broadcast
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val joined = c.crossJoin(broadcast(q))
+    val scored = (if (excludeSelf) joined.where(col("nbr_id") =!= col("query_id")) else joined)
+      .withColumn("cosine", cosine(col("nbr_vec"), col("query_vec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "nbr_id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the query's bucket. */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numBits: Int = 8,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import TextHashFunctions.rh_lsh_bucket
+    val c = corpus.select(
+      col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"),
+      rh_lsh_bucket(col(vecCol), numBits, seed).as("bucket"))
+    val q = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("query_vec"),
+      rh_lsh_bucket(col(vecCol), numBits, seed).as("bucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .where(col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("nbr_vec"), col("query_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "nbr_id", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-dup pairs (bucketed; exact verify ≥ threshold). */
+  def cosineNearDups(
+      corpus: DataFrame,
+      threshold: Double = 0.95,
+      numBits: Int = 8,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import TextHashFunctions.rh_lsh_bucket
+    val withBucket = corpus.select(
+      col(idCol).as("id"), col(vecCol).as("vec"),
+      rh_lsh_bucket(col(vecCol), numBits, seed).as("bucket"))
+    val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

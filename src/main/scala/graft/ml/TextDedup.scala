@@ -1,0 +1,155 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextHashFunctions._
+
+/** Deduplication operators for a large-scale training-data pipeline, each
+  * shaped for 100 TB inputs: signatures are computed scan-side (codegen'd
+  * expressions, column-pruned), candidate pairs come from shuffles on
+  * *small* keys (hash / band / bucket), and the quadratic pair space is
+  * never materialized.
+  *
+  * Every entry returns a DataFrame and is registered in
+  * `SparkEntry.queries`; SQL-expressible ones carry a DuckDB oracle.
+  */
+object TextDedup {
+
+  /** Whitespace-normalized lowercase form used as the exact-dup identity. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Exact dedup groups: one survivor (min id) per distinct normalized
+    * text, with the group size. Scale: one hash shuffle on a 32-char key. */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(md5(normText(col(textCol))).as("text_hash"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("group_size"))
+
+  /** Exact-dedup survivors only (the kept corpus). */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.join(
+      exactGroups(docs, idCol, textCol).select(col("survivor_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** MinHash + LSH near-dup candidate pairs with exact-jaccard verification
+    * on the signatures.
+    *
+    * Pipeline: signature (scan-side expression) → explode `bands` band keys
+    * → shuffle on (band_idx, band_hash) → within-bucket self-join emits
+    * candidate pairs (id_a < id_b) → estimated jaccard = matching signature
+    * positions / numHashes → keep ≥ threshold.
+    *
+    * Scale: band buckets are tiny (near-dups + rare collisions); the join
+    * is per-bucket, and pairs are deduped by (a,b) before verify.
+    */
+  def minhashNearDups(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleWidth: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = docs
+      .select(col(idCol).as("id"), minhash_sig(col(textCol), shingleWidth, numHashes).as("sig"))
+      .persist()
+
+    val banded = sigs.select(
+      col("id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))).as(Seq("band_idx", "band_hash")))
+
+    val a = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band_idx"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val pairs = a
+      .join(b, Seq("band_idx", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+
+    val out = pairs
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .where(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+    out
+  }
+
+  /** SimHash near-dups: 64-bit signature, candidates from 4×16-bit chunk
+    * collisions (any pair within hamming distance ≤ 3 shares at least one
+    * exact chunk — pigeonhole), verified by exact hamming distance. */
+  def simhashNearDups(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = 4 // pigeonhole guarantee holds for maxHamming <= chunks - 1
+    require(maxHamming < chunks, "maxHamming must be < 4 for 16-bit chunking")
+    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk_idx"),
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk"))
+    }
+    val chunked = sigs
+      .select(col("id"), col("sig"), explode(array(chunkCols: _*)).as("ck"))
+      .select(col("id"), col("sig"), col("ck.chunk_idx").as("chunk_idx"), col("ck.chunk").as("chunk"))
+    val a = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk_idx", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Distinct character n-gram set of the normalized text — fully
+    * declarative (sequence → transform → array_distinct). */
+  def ngramSet(textCol: Column, n: Int): Column = {
+    val norm = normText(textCol)
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+      i => norm.substr(i, lit(n))))
+  }
+
+  /** Character n-gram Jaccard similarity over candidate pairs — quadratic
+    * within a block, so at scale it runs as the *verification* stage behind
+    * an LSH/banding candidate generator. Blocking: overlapping token-count
+    * buckets of width `blockWidth` (each doc lands in the two buckets
+    * covering n±blockWidth/2), so near-equal-length docs always share a
+    * block while far-apart lengths never pair. */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      threshold: Double = 0.5,
+      blockWidth: Int = 16): DataFrame = {
+    val grams = docs.select(
+      col(idCol).as("id"),
+      ngramSet(col(textCol), n).as("grams"),
+      TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+    val withBlock = grams
+      .withColumn("block", explode(array_distinct(array(
+        floor(col("n_tokens") / blockWidth),
+        floor((col("n_tokens") + blockWidth / 2) / blockWidth) + lit(1000000)))))
+      .drop("n_tokens")
+    val a = withBlock.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
+    val b = withBlock.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
+    a.join(b, Seq("block"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,209 @@
+package graft.ml
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => EU}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Column
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.util.XxHash64
+
+/** Text-hash kernels for web-scale dedup (MinHash, SimHash, Karp–Rabin
+  * rolling fingerprint). All pure functions of the text bytes — no RNG, no
+  * state — so signatures are reproducible across runs/partitions.
+  *
+  * Scale shape: each kernel is O(text) per row and emits a tiny fixed-size
+  * signature; candidate generation then happens relationally (LSH band
+  * explode → shuffle on band key → within-bucket verify) in
+  * [[TextDedup]] — the full O(n²) pair space is never materialized.
+  */
+object TextHashKernels {
+
+  /** Word tokens (runs of non-JS-whitespace), lowercased. */
+  def tokens(text: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && graft.util.JsText.isJsWhitespace(text.charAt(i))) i += 1
+      val start = i
+      while (i < n && !graft.util.JsText.isJsWhitespace(text.charAt(i))) i += 1
+      if (i > start) out += text.substring(start, i).toLowerCase(java.util.Locale.ROOT)
+    }
+    out.toArray
+  }
+
+  /** Hashes of w-token shingles (w-grams of the token stream). */
+  def shingleHashes(text: String, w: Int): Array[Long] = {
+    val ts = tokens(text)
+    if (ts.length < w) {
+      if (ts.isEmpty) Array.empty
+      else Array(XxHash64.hashUtf8(ts.mkString(" ")))
+    } else {
+      val out = new Array[Long](ts.length - w + 1)
+      var i = 0
+      while (i + w <= ts.length) {
+        out(i) = XxHash64.hashUtf8(ts.slice(i, i + w).mkString(" "))
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** MinHash signature: for each of `numHashes` hash families take the min
+    * over shingle hashes. Family h_i(x) = xxh64(x, seed=i) via one rehash
+    * of the base shingle hash (standard practice; avoids re-reading text). */
+  def minhash(text: String, shingleWidth: Int, numHashes: Int): Array[Long] = {
+    val shingles = shingleHashes(text, shingleWidth)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val base = shingles(s)
+      var i = 0
+      while (i < numHashes) {
+        val h = XxHash64.hashLong(base, i.toLong)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over token hashes (bit-vote). */
+  def simhash(text: String): Long = {
+    val ts = tokens(text)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < ts.length) {
+      val h = XxHash64.hashUtf8(ts(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Karp–Rabin rolling polynomial fingerprint of the whitespace-normalized
+    * text (deterministic document fingerprint). */
+  def rollingFingerprint(text: String): Long = {
+    val B = 1000003L
+    var h = 0L
+    var pendingSpace = false
+    var seenAny = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (graft.util.JsText.isJsWhitespace(c)) {
+        if (seenAny) pendingSpace = true // deferred: trailing ws never hashed
+      } else {
+        if (pendingSpace) { h = h * B + ' '.toLong; pendingSpace = false }
+        h = h * B + java.lang.Character.toLowerCase(c).toLong
+        seenAny = true
+      }
+      i += 1
+    }
+    XxHash64.hashLong(h, 1315423911L)
+  }
+
+  /** Random-hyperplane LSH bucket for an embedding: `numBits` sign bits of
+    * dot products against deterministic ±1 hyperplanes (plane j component i
+    * = sign of xxh64(seed, j, i)) — no stored plane matrix, reproducible on
+    * any executor. */
+  def rhLshBucket(vec: ArrayData, numBits: Int, seed: Long): Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < numBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val sign = if ((XxHash64.hashLong((j.toLong << 32) | i.toLong, seed) & 1L) == 0L) 1.0 else -1.0
+        dot += sign * vec.getFloat(i)
+        i += 1
+      }
+      if (dot > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  // ---- Spark internal-type bridges (static call targets for codegen) ----
+
+  def minhashArrayData(text: UTF8String, w: Int, k: Int): ArrayData =
+    new GenericArrayData(minhash(text.toString, w, k))
+
+  def simhashLong(text: UTF8String): Long = simhash(text.toString)
+
+  def fingerprintLong(text: UTF8String): Long = rollingFingerprint(text.toString)
+}
+
+/** `minhash_sig(text)` → array<bigint> of length numHashes. */
+case class MinHashSig(child: Expression, shingleWidth: Int, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+  override protected def nullSafeEval(t: Any): Any =
+    TextHashKernels.minhashArrayData(t.asInstanceOf[UTF8String], shingleWidth, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.ml.TextHashKernels.minhashArrayData($t, $shingleWidth, $numHashes)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `simhash64(text)` → bigint. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+  override protected def nullSafeEval(t: Any): Any =
+    TextHashKernels.simhashLong(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.ml.TextHashKernels.simhashLong($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `doc_fingerprint(text)` → bigint rolling-hash fingerprint. */
+case class DocFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "doc_fingerprint"
+  override protected def nullSafeEval(t: Any): Any =
+    TextHashKernels.fingerprintLong(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.ml.TextHashKernels.fingerprintLong($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `rh_lsh_bucket(embedding)` → bigint LSH bucket (random-hyperplane). */
+case class RhLshBucket(child: Expression, numBits: Int, seed: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "rh_lsh_bucket"
+  override protected def nullSafeEval(v: Any): Any =
+    TextHashKernels.rhLshBucket(v.asInstanceOf[ArrayData], numBits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.ml.TextHashKernels.rhLshBucket($v, $numBits, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TextHashFunctions {
+  def minhash_sig(text: Column, shingleWidth: Int = 3, numHashes: Int = 64): Column =
+    EU.column(MinHashSig(EU.expression(text), shingleWidth, numHashes))
+  def simhash64(text: Column): Column =
+    EU.column(SimHash64(EU.expression(text)))
+  def doc_fingerprint(text: Column): Column =
+    EU.column(DocFingerprint(EU.expression(text)))
+  def rh_lsh_bucket(embedding: Column, numBits: Int = 16, seed: Long = 42L): Column =
+    EU.column(RhLshBucket(EU.expression(embedding), numBits, seed))
+}

@@ -1,0 +1,156 @@
+package graft.ml
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextHashKernelsSpec extends AnyFunSuite {
+  import TextHashKernels._
+
+  test("tokens: js-whitespace split, lowercased") {
+    assert(tokens("Hello  World\tfoo\nBar ").toSeq == Seq("hello", "world", "foo", "bar"))
+    assert(tokens("").isEmpty)
+  }
+
+  test("minhash: identical texts identical sigs; similarity tracks jaccard") {
+    val a = minhash("the quick brown fox jumps over the lazy dog again", 3, 64)
+    val b = minhash("the quick brown fox jumps over the lazy dog again", 3, 64)
+    assert(a.toSeq == b.toSeq)
+    val c = minhash("the quick brown fox jumps over the lazy dog extra words", 3, 64)
+    val simAC = a.zip(c).count { case (x, y) => x == y } / 64.0
+    assert(simAC > 0.3 && simAC < 1.0, s"simAC=$simAC")
+    val d = minhash("completely different text with no overlap whatsoever in any shingle", 3, 64)
+    val simAD = a.zip(d).count { case (x, y) => x == y } / 64.0
+    assert(simAD < 0.2, s"simAD=$simAD")
+  }
+
+  test("simhash: near-identical texts within small hamming distance") {
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val base = "spark catalyst tungsten codegen shuffle partition broadcast join window aggregate"
+    val a = simhash(base)
+    assert(ham(a, simhash(base + " extra")) <= 12)
+    assert(ham(a, simhash("zebra quantum pickle wombat daffodil xylophone")) > 12)
+  }
+
+  test("rolling fingerprint: whitespace/case-normalized, content-sensitive") {
+    assert(rollingFingerprint("Hello   World") == rollingFingerprint("hello world"))
+    assert(rollingFingerprint(" hello\tworld \n") == rollingFingerprint("hello world"))
+    assert(rollingFingerprint("hello world") != rollingFingerprint("hello worlds"))
+  }
+}
+
+class TextDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tomorrow"), // near dup
+    (4L, "completely unrelated content about spark catalyst optimizer internals and shuffles"),
+    (5L, "THE  QUICK  BROWN  FOX jumps over the lazy dog near the river bank today") // exact after norm
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: normalized duplicates collapse to min-id survivor") {
+    val groups = TextDedup.exactGroups(docs).collect()
+    val big = groups.filter(_.getAs[Long]("group_size") == 3L)
+    assert(big.length == 1 && big.head.getAs[Long]("survivor_id") == 1L)
+    assert(TextDedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("minhash LSH finds near-dups, not unrelated docs") {
+    val pairs = TextDedup.minhashNearDups(docs, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), s"near-dup missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"false pair with 4: $pairs")
+  }
+
+  test("simhash chunking finds near-dups") {
+    val pairs = TextDedup.simhashNearDups(docs, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ngram jaccard: exact dups = 1.0; near dups above threshold") {
+    val pairs = TextDedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.get((1L, 3L)).exists(_ > 0.7))
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force top-k: self-similar vector ranks first when included") {
+    val q = emb.where($"vec_id" === 7)
+    val withSelf = Similarity.bruteForceTopK(emb, q, k = 1, excludeSelf = false).collect()
+    assert(withSelf.head.getAs[Long]("nbr_id") == 7L)
+    assert(math.abs(withSelf.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  test("lsh top-k results are a subset of brute-force candidates ranked identically") {
+    val q = emb.where($"vec_id" < 2)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 50)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, q, k = 5, numBits = 4)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit shares the query's bucket; it should be a plausible
+    // neighbor — check recall against top-50 exact rather than top-5
+    val recall = lsh.count(bf.contains).toDouble / lsh.length
+    assert(recall >= 0.4, s"lsh recall=$recall")
+  }
+
+  test("cosine near-dups finds planted duplicates via bucket join") {
+    val doubled = emb.select("vec_id", "embedding").unionByName(
+      emb.select(($"vec_id" + 1000L).as("vec_id"), $"embedding"))
+    val pairs = Similarity.cosineNearDups(doubled, threshold = 0.9999, numBits = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val n = emb.count()
+    assert(pairs.count { case (a, b) => b == a + 1000L } == n, s"${pairs.size} vs $n")
+  }
+
+  test("quantized dot is exactly reproducible") {
+    val v = Seq((1L, Array(0.1f, 0.2f, -0.3f)), (2L, Array(0.5f, -0.1f, 0.25f))).toDF("vec_id", "embedding")
+    val d = v.as("a").crossJoin(v.as("b"))
+      .where($"a.vec_id" === 1 && $"b.vec_id" === 2)
+      .select(Similarity.quantizedDot($"a.embedding", $"b.embedding").as("dot"))
+      .as[Long].head()
+    assert(d == 100L * 500L + 200L * -100L + -300L * 250L)
+  }
+}
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token count + quality features") {
+    val df = Seq((1L, "the cat sat on the mat"), (2L, "x")).toDF("doc_id", "text")
+    val r = df.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"),
+      TextAnalysis.qualityFeatures($"text").as("f"), TextAnalysis.qualityOk($"text").as("ok"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n") == 6)
+    assert(r(0).getAs[Boolean]("ok"))
+    assert(!r(1).getAs[Boolean]("ok")) // too few tokens
+  }
+
+  test("langid picks the stopword-dominant language") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it is grey"),
+      (2L, "der hund ist ein tier und das ist gut"),
+      (3L, "el gato es un animal y la casa es grande"),
+      (4L, "zxqw vbnm asdf")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "es" && got(4L) == "und")
+  }
+}
