@@ -1,5 +1,12 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every registry query on
+  * `SPARK_GRAFT_SF_DIR`, plus the crawl-engine headline (URLs
+  * scheduled+fetched+extracted per second over a deterministic synthetic
+  * corpus — the BASELINE.json metric). Prints ONE JSON line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +14,46 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // crawl headline: steady-state tick over a pre-seeded 30k-page corpus
+    val crawlJson =
+      try {
+        val n = 30000L
+        val cfg = graft.synth.PageSynth.Config(nHosts = 200, megaPct = 10, minLines = 10, extraLines = 5)
+        import spark.implicits._
+        val pages = spark.range(0L, n, 1L, cpus.toInt)
+          .mapPartitions(_.map(i => graft.synth.PageSynth.synthPage(i, n, cfg).page)).toDF()
+        val robots = spark.createDataset(Seq.empty[graft.model.RobotsEntry])
+        val lake = graft.lake.CrawlLake(
+          java.nio.file.Files.createTempDirectory("graft-bench-lake").toString, spark)
+        val driver = new graft.crawl.CrawlDriver(spark, lake, pages, robots,
+          graft.crawl.CrawlConfig(budget = 200, seenPartitions = 64,
+            expectedPerSegment = 1 << 14, collectStats = false))
+        driver.init((0L until n).map(i =>
+          graft.model.Seed(graft.synth.PageSynth.url(i, cfg), 0, graft.synth.PageSynth.warcTs(0))))
+        val t0 = System.nanoTime()
+        val stats = driver.run(2)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val fetched = stats.map(_.fetched).sum
+        f"""{"pages_fetched":$fetched,"wall_s":$wall%.2f,"urls_per_sec":${fetched / wall}%.1f}"""
+      } catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
+
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":$crawlJson}""")
     spark.stop()
   }
 }

@@ -24,7 +24,21 @@ final case class CrawlConfig(
       * every discovered link. */
     linkFilterContains: Option[String] = None,
     maxDepth: Int = Int.MaxValue,
-    blockCap: Int = 1000)
+    blockCap: Int = 1000,
+    /** false → skip the per-tick stat counts (extra actions); bench mode.
+      * The loop still learns `scheduled` (needed for termination). */
+    collectStats: Boolean = true,
+    /** compute the training-data enrichment columns (simhash, minhash
+      * bands, rolling fingerprint, quality features, langid) on every
+      * extracted page inside the tick — the webtext-pipeline per-page
+      * stage; off by default to keep the reference-parity output schema. */
+    enrich: Boolean = false,
+    /** storage level for the per-tick working sets (scheduled/hit/fresh).
+      * MEMORY_AND_DISK for small batches; DISK_ONLY (with spark.local.dir
+      * on fast storage) when a tick's fetched pages exceed executor
+      * memory — at 100 TB scale the fetch join output never fits on-heap. */
+    persistLevel: org.apache.spark.storage.StorageLevel =
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
 final case class TickStats(
     batchId: Long,
@@ -119,19 +133,28 @@ final class CrawlDriver(
 
     val pending = frontier.join(fetchLog.select("url_hash"), Seq("url_hash"), "left_anti")
     val allowed = RobotsFilter.filterAllowed(pending, robots)
-    val scheduled = Politeness.schedule(allowed, cfg.budget).persist()
+    val scheduled = Politeness.schedule(allowed, cfg.budget).persist(cfg.persistLevel)
 
-    // fetch = pages ⋈ broadcast(scheduled); misses become FAILED lineage rows
-    val hit = pagesKeyed
+    // fetch = pages ⋈ broadcast(scheduled), and BOTH extraction kernels run
+    // in this same single pass so the fat `html` column dies at the scan:
+    // what gets persisted/reused downstream is the compact processed row
+    // (doc struct + links array), ~50x smaller than raw html. At 100 TB
+    // this is the difference between caching gigabytes and caching the
+    // corpus. Misses become FAILED lineage rows.
+    val processed = pagesKeyed
       .join(broadcast(scheduled), Seq("url_hash"), "inner")
-      .persist()
-    val missing = scheduled.join(hit.select("url_hash"), Seq("url_hash"), "left_anti")
+      .select(
+        col("url_hash"), col("url"), col("host"), col("depth"),
+        length(col("html")).cast("long").as("bytes"),
+        extract_document(col("html"), cfg.blockCap).as("doc"),
+        extract_links(col("html"), col("url")).as("links"))
+      .persist(cfg.persistLevel)
+    val missing = scheduled.join(processed.select("url_hash"), Seq("url_hash"), "left_anti")
 
-    val fetchRows = hit
+    val fetchRows = processed
       .select(
         col("url_hash"), col("url"), col("host"),
-        lit(ts).as("fetch_ts"), lit(200).as("status"),
-        length(col("html")).cast("long").as("bytes"),
+        lit(ts).as("fetch_ts"), lit(200).as("status"), col("bytes"),
         spark_partition_id().as("partition_id"), lit(batchId).as("batch_id"))
       .unionByName(missing.select(
         col("url_hash"), col("url"), col("host"),
@@ -139,20 +162,26 @@ final class CrawlDriver(
         lit(0L).as("bytes"),
         spark_partition_id().as("partition_id"), lit(batchId).as("batch_id")))
 
-    val extractedRows = hit
-      .select(col("url_hash"), col("url"), col("html"),
-        extract_document(col("html"), cfg.blockCap).as("doc"))
+    val extractedBase = processed
       .select(
         col("url_hash"), col("url"),
         lower(hex(col("url_hash"))).as("job_id"),
         col("doc.data").as("data"), col("doc.text").as("extracted_text"),
         lit(ts).as("extract_ts"), lit(batchId).as("batch_id"))
+    val extractedRows =
+      if (!cfg.enrich) extractedBase
+      else extractedBase
+        .withColumn("simhash", graft.ml.TextHashFunctions.simhash64(col("extracted_text")))
+        .withColumn("minhash_band0",
+          xxhash64(slice(graft.ml.TextHashFunctions.minhash_sig(col("extracted_text")), 1, 8)))
+        .withColumn("fingerprint", graft.ml.TextHashFunctions.doc_fingerprint(col("extracted_text")))
+        .withColumn("quality", graft.ml.TextAnalysis.qualityFeatures(col("extracted_text")))
 
     // discovery: links of fetched pages, document order preserved
-    val rawLinks = hit
+    val rawLinks = processed
       .select(
         col("url_hash").as("src_hash"), col("depth").as("src_depth"),
-        posexplode(extract_links(col("html"), col("url"))).as(Seq("seq_in_page", "link")))
+        posexplode(col("links")).as(Seq("seq_in_page", "link")))
     val filteredLinks = cfg.linkFilterContains
       .map(s => rawLinks.where(col("link").contains(s)))
       .getOrElse(rawLinks)
@@ -183,16 +212,25 @@ final class CrawlDriver(
     val fresh = SeenSet
       .filterNewFiltered(batchDedup, seenSegments, frontier.select("url_hash"), cfg.seenPartitions)
       .toDF()
-      .persist()
+      .persist(cfg.persistLevel)
 
-    val stats = TickStats(
-      batchId,
-      scheduled = scheduled.count(),
-      fetched = hit.count(),
-      failed = 0L, // patched below
-      discovered = 0L,
-      admittedNew = fresh.count())
-    val failedCount = stats.scheduled - stats.fetched
+    val tTrace = System.nanoTime()
+    // materialize the shared working set ONCE before the commit: the four
+    // commit writes run concurrently (CrawlLake) and would otherwise race
+    // to recompute the uncached processed→links→dedup→probe chain 4x.
+    // fresh.count() materializes scheduled and processed en route, so the
+    // scheduled.count() after it is a cache read, not a second traversal.
+    val admittedCount = fresh.count()
+    if (sys.env.contains("GRAFT_TRACE"))
+      println(f"[trace] discover+dedup+probe: ${(System.nanoTime() - tTrace) / 1e9}%.2fs ($admittedCount new)")
+    val scheduledCount = scheduled.count()
+    val stats =
+      if (cfg.collectStats) {
+        val fetchedCount = processed.count()
+        TickStats(batchId, scheduledCount, fetchedCount,
+          failed = scheduledCount - fetchedCount, discovered = 0L,
+          admittedNew = admittedCount)
+      } else TickStats(batchId, scheduledCount, scheduledCount, 0L, 0L, admittedCount)
 
     val deltaSegments = SeenSet.buildDeltaSegments(
       fresh.select("url_hash"), cfg.seenPartitions, cfg.expectedPerSegment, kind = cfg.seenKind)
@@ -206,10 +244,12 @@ final class CrawlDriver(
         "extracted" -> extractedRows),
       replaces = Map("seen" -> mergedSegments.toDF()))
 
+    if (sys.env.contains("GRAFT_TRACE"))
+      println(f"[trace] tick $batchId total: ${(System.nanoTime() - tTrace) / 1e9}%.2fs")
     scheduled.unpersist()
-    hit.unpersist()
+    processed.unpersist()
     fresh.unpersist()
-    stats.copy(failed = failedCount)
+    stats
   }
 
   /** Run `n` ticks; stops early when a tick schedules nothing. */

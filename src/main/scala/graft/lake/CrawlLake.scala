@@ -91,22 +91,32 @@ final class CrawlLake(val root: String, spark: SparkSession) {
 
     def writeDir(table: String, df: DataFrame): Option[String] = {
       val dir = rootPath.resolve("data").resolve(table).resolve(f"batch-$batchId%06d").toString
+      val t0 = System.nanoTime()
       df.write.mode("overwrite").parquet(dir)
+      if (sys.env.contains("GRAFT_TRACE"))
+        println(f"[trace] write $table: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       // skip dirs with no rows to keep manifests tight
       val hasData = Files.list(Paths.get(dir)).iterator().asScala
         .exists(p => p.getFileName.toString.endsWith(".parquet"))
       if (hasData) Some(dir) else None
     }
 
+    // The per-table writes are independent Spark jobs over disjoint sinks —
+    // run them concurrently so one tick's commit costs max(write) wall time,
+    // not sum(write); Spark's scheduler interleaves their stages across the
+    // executor cores. (The manifest below is still written only after ALL
+    // writes returned, so atomicity is unchanged.)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = CrawlLake.commitPool
     val updated = scala.collection.mutable.Map[String, Vector[String]](prev.toSeq: _*)
-    appends.foreach { case (t, df) =>
-      val nd = writeDir(t, df)
-      updated(t) = prev.getOrElse(t, Vector.empty) ++ nd
-    }
-    replaces.foreach { case (t, df) =>
-      val nd = writeDir(t, df)
-      updated(t) = nd.toVector
-    }
+    val futures =
+      appends.toSeq.map { case (t, df) =>
+        Future(t -> (prev.getOrElse(t, Vector.empty) ++ writeDir(t, df)))
+      } ++ replaces.toSeq.map { case (t, df) =>
+        Future(t -> writeDir(t, df).toVector)
+      }
+    futures.map(Await.result(_, Duration.Inf)).foreach { case (t, dirs) => updated(t) = dirs }
 
     val rootNode = mapper.createObjectNode()
     rootNode.put("id", nextId)
@@ -127,4 +137,15 @@ final class CrawlLake(val root: String, spark: SparkSession) {
 
 object CrawlLake {
   def apply(root: String, spark: SparkSession): CrawlLake = new CrawlLake(root, spark)
+
+  /** Shared pool for concurrent per-table commit writes. */
+  private[lake] lazy val commitPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        4,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-lake-commit")
+          t.setDaemon(true)
+          t
+        }))
 }

@@ -30,17 +30,45 @@ object Politeness {
   val scheduleOrder: Seq[org.apache.spark.sql.Column] =
     Seq(col("priority"), col("depth"), col("discovery_ts"), col("seq_in_page"), col("url_hash"))
 
-  /** Admit ≤ budget rows per host, ranked by the schedule order; output
-    * carries `host_rank` (1-based within host). */
+  /** Seconds covered by one engine tick (tick timestamps advance 60 s —
+    * [[graft.sim.ReferenceSimulator.tickTs]]); a robots `crawl_delay` of d
+    * seconds therefore allows floor(60/d) fetches per tick. */
+  val TickSeconds = 60
+
+  /** Effective per-host budget: the configured politeness budget capped by
+    * the host's robots crawl_delay when one is declared (the reference had
+    * only the fixed slice(0,5); the delay-derived cap is the north-rule
+    * generalization). `crawlDelay` may be null (no robots entry). */
+  def effectiveBudget(budget: Int, crawlDelay: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(crawlDelay.isNotNull && crawlDelay > 0.0,
+      least(lit(budget), greatest(floor(lit(TickSeconds.toDouble) / crawlDelay), lit(1L))))
+      .otherwise(lit(budget.toLong))
+
+  /** Admit ≤ budget rows per host (tightened by `crawl_delay` when that
+    * column is present), ranked by the schedule order; output carries
+    * `host_rank` (1-based within host). */
   def schedule(pending: DataFrame, budget: Int): DataFrame = {
     val w = Window.partitionBy(col("host")).orderBy(scheduleOrder: _*)
+    val cap =
+      if (pending.columns.contains("crawl_delay")) effectiveBudget(budget, col("crawl_delay"))
+      else lit(budget.toLong)
     pending
       .withColumn("host_rank", row_number().over(w))
-      .where(col("host_rank") <= budget)
+      .where(col("host_rank") <= cap)
+      .drop("crawl_delay")
   }
 
   /** The deterministic global crawl order of one batch (for lineage and
     * golden-order comparison): batch_id first, then the schedule chain. */
   def globalOrder(scheduled: DataFrame): DataFrame =
     scheduled.orderBy(col("batch_id") +: scheduleOrder: _*)
+
+  /** Salted repartition for megahost skew (SURVEY.md §2 north-rule
+    * extensions): spreads one hot host over `salt` sub-partitions keyed by
+    * `(host, url_hash mod salt)`. The politeness window itself doesn't need
+    * it — WindowGroupLimit bounds each reducer to mapTasks·budget rows per
+    * host pre-shuffle — but per-host aggregations over fetch_log/extracted
+    * (metrics, rate tracking) do; pair with AQE skew-join as backstop. */
+  def saltedByHost(df: DataFrame, partitions: Int, salt: Int): DataFrame =
+    df.repartition(partitions, col("host"), pmod(col("url_hash"), lit(salt.toLong)))
 }

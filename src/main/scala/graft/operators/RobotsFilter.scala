@@ -40,9 +40,11 @@ object RobotsFilter {
     EU.column(RobotsAllowedExpr(EU.expression(rules), EU.expression(url)))
 
   /** Left-join pending rows against the broadcast robots dimension and keep
-    * the allowed ones. `pending` must have (host, url). */
+    * the allowed ones; the host's `crawl_delay` rides along (null when the
+    * host has no robots entry) so [[Politeness.schedule]] can tighten the
+    * per-host budget. `pending` must have (host, url). */
   def filterAllowed(pending: DataFrame, robots: Dataset[RobotsEntry]): DataFrame = {
-    val dim = broadcast(robots.toDF().select(col("host"), col("rules")))
+    val dim = broadcast(robots.toDF().select(col("host"), col("rules"), col("crawl_delay")))
     pending
       .join(dim, Seq("host"), "left")
       .where(robots_allowed(col("rules"), col("url")))

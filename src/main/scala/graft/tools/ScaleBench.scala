@@ -1,0 +1,113 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.crawl.{CrawlConfig, CrawlDriver}
+import graft.lake.CrawlLake
+import graft.model.Seed
+import graft.synth.PageSynth
+
+/** Scaling-efficiency evidence for the north rule ("run at N and 4N
+  * executors with ≥0.8 throughput scaling efficiency"). No real cluster
+  * exists in this sandbox, so per BASELINE.md the same job runs at
+  * `local[8]` and `local[32]` (host has 32 cores) on the SAME input, one
+  * JVM per measured config (the spark-submit analogy: each cluster size is
+  * its own driver), and efficiency = (throughput₃₂ / throughput₈) / 4.
+  *
+  * Workload: steady-state crawl ticks over a pre-seeded frontier reading a
+  * REAL parquet `pages` table (written once to tmpfs, untimed setup):
+  * politeness window → broadcast fetch join → extraction kernel → link
+  * discovery → seen-set probe/update → atomic snapshot commit (the four
+  * table writes run concurrently, see [[CrawlLake]]).
+  *
+  * Usage: runMain graft.tools.ScaleBench <cpus> [nPages] [ticks] [budget] [minLines]
+  */
+object ScaleBench {
+
+  final case class RunResult(cpus: Int, fetched: Long, wallS: Double) {
+    def fetchPerSec: Double = fetched / wallS
+  }
+
+  @volatile private var benchCfg =
+    PageSynth.Config(nHosts = 400, megaPct = 10, minLines = 150, extraLines = 50)
+
+  def makeSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-scalebench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // cache/shuffle spill on tmpfs: the measured job is the engine, not
+      // this sandbox's ext4 writeback variance
+      .config("spark.local.dir", "/dev/shm/spark-local")
+      // fat binary `html` column: default 4096-row reader batches would
+      // allocate GB-scale column vectors per task; shrink the batch
+      .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Distributed deterministic corpus: pure function of the row index. */
+  def synthPages(spark: SparkSession, nPages: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, nPages, 1L, spark.sparkContext.defaultParallelism)
+      .mapPartitions(_.map(i => PageSynth.synthPage(i, nPages, benchCfg).page))
+      .toDF()
+  }
+
+  /** Write the corpus once (setup, untimed); reused across configs. */
+  def ensureCorpus(spark: SparkSession, nPages: Long): String = {
+    val dir = s"/dev/shm/graft-sb-pages-$nPages-${benchCfg.minLines}"
+    if (!Files.exists(Paths.get(dir, "_SUCCESS")))
+      synthPages(spark, nPages).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  def runOnce(cpus: Int, nPages: Long, budget: Int, ticks: Int): RunResult = {
+    val spark = makeSession(cpus)
+    try {
+      val pagesDf = spark.read.parquet(ensureCorpus(spark, nPages))
+      val robots = spark.createDataset(Seq.empty[graft.model.RobotsEntry])(
+        Encoders.product[graft.model.RobotsEntry])
+      val lake = CrawlLake(
+        Files.createTempDirectory(Paths.get("/dev/shm"), s"graft-sb-$cpus").toString, spark)
+      val driver = new CrawlDriver(spark, lake, pagesDf, robots,
+        CrawlConfig(budget = budget, seenPartitions = 64, expectedPerSegment = 1 << 16,
+          collectStats = false, enrich = true,
+          persistLevel = StorageLevel.MEMORY_AND_DISK))
+      // steady-state: the whole corpus is already on the frontier
+      val seeds = (0L until nPages).map(i =>
+        Seed(PageSynth.url(i, benchCfg), 0, PageSynth.warcTs(0)))
+      driver.init(seeds)
+      val t0 = System.nanoTime()
+      val stats = driver.run(ticks)
+      val wall = (System.nanoTime() - t0) / 1e9
+      RunResult(cpus, stats.map(_.fetched).sum, wall)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = args.lift(0).map(_.toInt).getOrElse(32)
+    val nPages = args.lift(1).map(_.toLong).getOrElse(400000L)
+    val ticks = args.lift(2).map(_.toInt).getOrElse(3)
+    val budget = args.lift(3).map(_.toInt).getOrElse(300)
+    args.lift(4).foreach(ml => benchCfg = benchCfg.copy(minLines = ml.toInt))
+
+    // JIT warmup at the same parallelism (C2-compiles the hot kernels);
+    // skipped with GRAFT_NOWARMUP=1
+    if (!sys.env.contains("GRAFT_NOWARMUP"))
+      runOnce(cpus, math.min(nPages / 8, 30000L), math.max(budget / 4, 20), 1)
+
+    val r = runOnce(cpus, nPages, budget, ticks)
+    println(
+      s"""{"bench":"scale","cpus":$cpus,"n_pages":$nPages,"ticks":$ticks,"budget":$budget,
+         |"fetched":${r.fetched},"wall_s":${f"${r.wallS}%.2f"},
+         |"fetched_per_sec":${f"${r.fetchPerSec}%.1f"}}""".stripMargin.replace("\n", ""))
+  }
+}

@@ -148,6 +148,29 @@ class CrawlDriverSpec extends AnyFunSuite {
     assert(engineTick2Hashes == refHashes)
   }
 
+  test("crawl_delay tightens the per-host budget; engine matches the oracle") {
+    // host0's entry overridden with a 30 s delay -> floor(60/30) = 2/tick
+    val slowRobots = robotsEntries.map { e =>
+      if (e.host == PageSynth.hostName(0)) e.copy(crawl_delay = 30.0) else e
+    }
+    val cfg = CrawlConfig(budget = 5, seenPartitions = 8, expectedPerSegment = 4096)
+    val lake = CrawlLake(Files.createTempDirectory("graft-lake-delay").toString, spark)
+    val driver = new CrawlDriver(
+      spark, lake, spark.createDataFrame(corpus.map(_.page)),
+      spark.createDataset(slowRobots), cfg)
+    driver.init(PageSynth.seeds(N, 3))
+    driver.run(3)
+    val perHostTick = driver.fetchLog.groupBy("batch_id", "host").count()
+      .as[(Long, String, Long)].collect()
+    perHostTick.filter(_._2 == PageSynth.hostName(0)).foreach { case (b, h, n) =>
+      assert(n <= 2, s"crawl_delay violated at tick $b: $n fetches on $h")
+    }
+    val sim = ReferenceSimulator.crawl(
+      corpus, seedUrls, budget = 5, ticks = 3,
+      slowRobots.map(e => e.host -> e).toMap)
+    assert(engineOrder(driver) == sim.crawlOrder.map(r => (r.batchId, r.urlHash, r.status)))
+  }
+
   test("tick stats are coherent and lineage covers every schedule") {
     val cfg = CrawlConfig(budget = 2, seenPartitions = 8, expectedPerSegment = 4096)
     val (driver, _) = newDriver(cfg)
