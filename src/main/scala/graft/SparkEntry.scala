@@ -195,7 +195,9 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
       val doubled = emb.unionByName(emb.select(
         (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-      Similarity.cosineNearDups(doubled, threshold = 0.999, numBits = 4)
+      // identical vectors share every sign bit, so planted dups always
+      // collide; 8 bits = 256 buckets keeps the candidate set near-linear
+      Similarity.cosineNearDups(doubled, threshold = 0.999, numBits = 8)
         .select("id_a", "id_b")
     }))
 
