@@ -185,6 +185,12 @@ object SparkEntry {
         t(s, dir, "embeddings"), t(s, dir, "embeddings").where(col("vec_id") < 3), k = 5)
         .select("query_id", "nbr_id", "rank")),
 
+    "q26_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(
+        t(s, dir, "embeddings"), t(s, dir, "embeddings").where(col("vec_id") < 3),
+        k = 5, nCentroids = 16, nProbe = 4)
+        .select("query_id", "nbr_id", "rank")),
+
     "q26_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(
         t(s, dir, "embeddings"), t(s, dir, "embeddings").where(col("vec_id") < 3),

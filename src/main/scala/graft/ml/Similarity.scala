@@ -84,6 +84,65 @@ object Similarity {
       .select("query_id", "nbr_id", "cosine", "rank")
   }
 
+  /** IVF-flat approximate top-k: corpus vectors are assigned to their
+    * nearest of `nCentroids` centroids (one Lloyd refinement over a
+    * deterministic seed set — no RNG: seeds are the lowest-id vectors,
+    * spread is what the refinement step is for); queries search only their
+    * `nProbe` nearest inverted lists.
+    *
+    * Scale shape: centroids are a broadcast dimension; assignment is one
+    * scan + broadcast join; the search space per query is corpus·nProbe/
+    * nCentroids. Complements [[lshTopK]]: IVF adapts to the data
+    * distribution, LSH needs no training pass.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+
+    // deterministic seed centroids + one Lloyd refinement
+    val seedCentroids = c.orderBy(col("nbr_id")).limit(nCentroids)
+      .select(col("nbr_id").as("cid"), toDouble(col("nbr_vec")).as("cvec"))
+    def nearestCentroid(vecs: DataFrame, cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("nbr_id")).orderBy(col("csim").desc, col("cid"))
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col("nbr_vec"), col("cvec")))
+        .withColumn("crank", row_number().over(w))
+        .where(col("crank") === 1)
+        .drop("csim", "crank")
+    }
+    val assigned0 = nearestCentroid(c, seedCentroids)
+    val centroids = assigned0
+      .groupBy(col("cid"))
+      .agg(array((0 until dimOf(corpus, vecCol)).map(i =>
+        avg(element_at(col("nbr_vec"), i + 1).cast("double"))): _*).as("cvec"))
+    val assigned = nearestCentroid(c, centroids).persist()
+
+    // query side: nProbe nearest centroids -> candidate lists -> exact rank
+    val qw = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("qsim", cosine(col("query_vec"), col("cvec")))
+      .withColumn("qrank", row_number().over(qw))
+      .where(col("qrank") <= nProbe)
+      .select(col("query_id"), col("query_vec"), col("cid"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .where(col("nbr_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("nbr_vec"), col("query_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "nbr_id", "cosine", "rank")
+  }
+
+  private def dimOf(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).first().getInt(0)
+
   /** Embedding-cosine near-dup pairs (bucketed; exact verify ≥ threshold). */
   def cosineNearDups(
       corpus: DataFrame,

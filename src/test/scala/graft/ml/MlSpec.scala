@@ -110,6 +110,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"lsh recall=$recall")
   }
 
+  test("ivf top-k recall against brute force") {
+    val q = emb.where($"vec_id" < 3)
+    val bf = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, q, k = 10, nCentroids = 16, nProbe = 6)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+    assert(ivf.nonEmpty)
+    val recall = ivf.count(bf.contains).toDouble / ivf.length
+    assert(recall >= 0.5, s"ivf recall=$recall")
+  }
+
   test("cosine near-dups finds planted duplicates via bucket join") {
     val doubled = emb.select("vec_id", "embedding").unionByName(
       emb.select(($"vec_id" + 1000L).as("vec_id"), $"embedding"))
