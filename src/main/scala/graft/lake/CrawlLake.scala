@@ -133,6 +133,32 @@ final class CrawlLake(val root: String, spark: SparkSession) {
     Files.move(tmp, snapDir.resolve("LATEST"), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     nextId
   }
+
+  /** Garbage-collect data directories referenced by NO manifest ≤ latest —
+    * the leftovers of crashed commits (written before step 3 of the commit
+    * protocol) and of replaced tables' superseded versions when
+    * `keepSnapshots` limits time-travel depth. Returns deleted dir paths.
+    * Safe by construction: readers only ever resolve dirs through a
+    * manifest, and manifests are immutable once LATEST moves past them. */
+  def gcOrphans(keepSnapshots: Int = Int.MaxValue): Seq[String] = {
+    val latest = latestSnapshotId.getOrElse(return Nil)
+    val keepFrom = math.max(0L, latest - keepSnapshots + 1)
+    val referenced: Set[String] =
+      (keepFrom to latest).flatMap(id => manifest(id).values.flatten).toSet
+    val dataRoot = rootPath.resolve("data")
+    if (!Files.exists(dataRoot)) return Nil
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    Files.list(dataRoot).iterator().asScala.foreach { tableDir =>
+      Files.list(tableDir).iterator().asScala.foreach { batchDir =>
+        if (!referenced.contains(batchDir.toString)) {
+          Files.walk(batchDir).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+          deleted += batchDir.toString
+        }
+      }
+    }
+    deleted.toSeq
+  }
 }
 
 object CrawlLake {

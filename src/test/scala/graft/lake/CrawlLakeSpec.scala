@@ -54,6 +54,20 @@ class CrawlLakeSpec extends AnyFunSuite {
     assert(empty.schema == schema)
   }
 
+  test("gcOrphans removes crash leftovers and respects time-travel depth") {
+    val root = java.nio.file.Files.createTempDirectory("lake-spec6").toString
+    val lake = CrawlLake(root, spark)
+    lake.commit(0L, appends = Map("t" -> df(1L -> "a")))
+    lake.commit(1L, appends = Map("t" -> df(2L -> "b")))
+    df(99L -> "orphan").write.parquet(s"$root/data/t/batch-999999")
+    val deleted = lake.gcOrphans()
+    assert(deleted.exists(_.endsWith("batch-999999")))
+    assert(lake.read("t", schema).count() == 2) // referenced dirs untouched
+    // limiting depth to 1 snapshot GCs dirs only referenced by v0... v1
+    // inherits v0's dirs (append table), so nothing else is deletable
+    assert(lake.gcOrphans(keepSnapshots = 1).isEmpty)
+  }
+
   test("commit of an empty DataFrame keeps the manifest tight") {
     val lake = CrawlLake(Files.createTempDirectory("lake-spec5").toString, spark)
     lake.commit(0L, appends = Map("t" -> df(1L -> "a")))
