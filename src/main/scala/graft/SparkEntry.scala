@@ -82,9 +82,12 @@ object SparkEntry {
         .select("event_id", "user_id", "event_type")),
 
     "q08_anti_join" -> ((s, dir) =>
-      t(s, dir, "customer").join(
-        t(s, dir, "orders").select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
-        .select("c_custkey", "c_name")),
+      // orders with no high-quantity line (guaranteed non-empty, unlike the
+      // fully-referenced FK columns in this corpus)
+      t(s, dir, "orders").join(
+        t(s, dir, "lineitem").where(col("l_quantity") > 45)
+          .select(col("l_orderkey").as("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .select("o_orderkey", "o_orderstatus")),
 
     "q09_json_decode" -> ((s, dir) =>
       t(s, dir, "events").select(
@@ -252,8 +255,9 @@ object SparkEntry {
     "q07_null_guard" ->
       "SELECT event_id, user_id, event_type FROM events WHERE props IS NOT NULL AND event_type IS NOT NULL",
     "q08_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)""".stripMargin,
     "q09_json_decode" ->
       "SELECT event_id, json_extract_string(props, '$.k') AS kval FROM events",
     "q10_ordered_concat" ->
