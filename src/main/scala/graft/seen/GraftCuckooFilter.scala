@@ -31,7 +31,13 @@ final class GraftCuckooFilter private (
     val f = (XxHash64.hashLong(key, FpSeed) & 0xffff).toInt
     (if (f == 0) 1 else f).toShort
   }
-  @inline private def bucket1(key: Long): Int = (key & bucketMask).toInt
+  /** Primary bucket from an INDEPENDENT hash of the key — never the raw low
+    * bits. [[SeenSet]] segments keys by `pmod(url_hash, P)` with power-of-two
+    * P, so within one segment every key shares its low log2(P) bits; raw low
+    * bits would collapse all primary buckets onto 1/P of the table and
+    * saturate far below the sized capacity (found by round-1 advisor). */
+  @inline private def bucket1(key: Long): Int =
+    (XxHash64.hashLong(key, BucketSeed) & bucketMask).toInt
   @inline private def partner(i: Int, fp: Short): Int =
     (i ^ XxHash64.hashLong(fp.toLong & 0xffffL, AltSeed).toInt) & bucketMask
 
@@ -53,7 +59,13 @@ final class GraftCuckooFilter private (
 
   /** Fingerprint-level insert with the deterministic eviction chain —
     * shared by [[insert]] and [[mergeInPlace]] (a merged fingerprint's
-    * bucket is recoverable because partner() is an involution). */
+    * bucket is recoverable because partner() is an involution).
+    *
+    * Failure is ATOMIC: when the chain exhausts MaxKicks the whole swap
+    * chain is unwound (reverse order, exact even when a slot was touched
+    * twice), so a `false` return leaves the table bit-identical — no
+    * previously-inserted key can turn into a false negative (round-1
+    * advisor: the old code dropped the last homeless victim). */
   private def insertFp(i1: Int, fp0: Short): Boolean = {
     if (tryInsertAt(i1, fp0) || tryInsertAt(partner(i1, fp0), fp0)) {
       itemsInserted += 1
@@ -63,6 +75,8 @@ final class GraftCuckooFilter private (
     var fp = fp0
     var i = if ((XxHash64.hashLong((fp0.toLong << 32) | i1.toLong, KickSeed) & 1L) == 0L) i1
             else partner(i1, fp0)
+    val trailIdx = new Array[Int](MaxKicks)
+    val trailOld = new Array[Short](MaxKicks)
     var kicks = 0
     while (kicks < MaxKicks) {
       val base = slotBase(i)
@@ -70,11 +84,16 @@ final class GraftCuckooFilter private (
         & (SlotsPerBucket - 1)).toInt
       val victim = table(base + victimSlot)
       table(base + victimSlot) = fp
+      trailIdx(kicks) = base + victimSlot
+      trailOld(kicks) = victim
       fp = victim
       i = partner(i, fp)
       if (tryInsertAt(i, fp)) { itemsInserted += 1; return true }
       kicks += 1
     }
+    // saturated: unwind every swap so the filter is exactly as before
+    var k = MaxKicks - 1
+    while (k >= 0) { table(trailIdx(k)) = trailOld(k); k -= 1 }
     false
   }
 
@@ -109,9 +128,17 @@ final class GraftCuckooFilter private (
 
   /** Merge by re-inserting the other filter's fingerprints (bucket index is
     * recoverable because i XOR hash(fp) is an involution). Returns the
-    * number of fingerprints that could NOT be placed (0 on success). */
+    * number of fingerprints that could NOT be placed (0 on success).
+    *
+    * ATOMIC on failure: when any fingerprint cannot be placed the target is
+    * restored from a pre-merge snapshot, so callers that throw on
+    * `failed > 0` never observe (or persist) a half-merged segment. The
+    * snapshot is one Array[Short] clone — trivial next to the per-merge
+    * deserialization cost. */
   def mergeInPlace(other: GraftCuckooFilter): Long = {
     require(other.log2Buckets == log2Buckets, "incompatible cuckoo geometry")
+    val savedTable = table.clone()
+    val savedItems = itemsInserted
     var failed = 0L
     var b = 0
     val nBuckets = 1 << log2Buckets
@@ -124,6 +151,10 @@ final class GraftCuckooFilter private (
         s += 1
       }
       b += 1
+    }
+    if (failed > 0) {
+      System.arraycopy(savedTable, 0, table, 0, table.length)
+      itemsInserted = savedItems
     }
     failed
   }
@@ -146,6 +177,7 @@ object GraftCuckooFilter {
   private[seen] final val FpSeed = 0x9e3779b9L
   private[seen] final val AltSeed = 0x85ebca6bL
   private[seen] final val KickSeed = 0xc2b2ae35L
+  private[seen] final val BucketSeed = 0x27d4eb2fL
 
   def create(log2Buckets: Int): GraftCuckooFilter = {
     require(log2Buckets >= 1 && log2Buckets <= 28)

@@ -66,9 +66,13 @@ object UrlCanonicalizer {
       else {
         val parts = query.split("&", -1).filter(_.nonEmpty)
         if (parts.isEmpty) ""
+        // strict comparator: `av <= bv` made compare(x,x) inconsistent and
+        // TimSort (arrays >= 32 elements) throws "Comparison method violates
+        // its general contract!" on many duplicate params — a crawl-garbage
+        // URL must never crash the codegen'd expression (round-1 advisor)
         else "?" + parts.sortInPlaceWith { (a, b) =>
           val (ak, av) = splitKv(a); val (bk, bv) = splitKv(b)
-          if (ak != bk) ak < bk else av <= bv
+          if (ak != bk) ak < bk else av < bv
         }.mkString("&")
       }
     scheme + "://" + authority + path + canonQuery

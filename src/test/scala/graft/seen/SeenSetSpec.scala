@@ -82,6 +82,49 @@ class GraftCuckooFilterSpec extends AnyFunSuite {
     keys.take(5000).foreach(b.insert)
     assert(a.serialized.sameElements(b.serialized))
   }
+
+  test("keys sharing low bits fill to sized capacity (segment-sharded keys)") {
+    // SeenSet shards by pmod(url_hash, P): every key in a segment shares its
+    // low log2(P) bits. With bucket1 = raw low bits this saturated at ~1/P of
+    // capacity; with an independent bucket hash it must reach the sized load.
+    val n = 4096
+    val f = GraftCuckooFilter.forExpected(n.toLong)
+    val shared = (0 until n).map(i => (i.toLong << 12) | 0x5L) // low 12 bits identical
+    shared.foreach(k => assert(f.insert(k), s"saturated early at ${f.itemsInserted}/$n"))
+    shared.foreach(k => assert(f.mightContain(k)))
+  }
+
+  test("failed insert is atomic: no previously-inserted key is lost") {
+    val f = GraftCuckooFilter.create(2) // 4 buckets x 4 slots = 16 capacity
+    val inserted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var k = 0L
+    var full = false
+    while (!full && k < 1000) {
+      val key = XxHash64.hashLong(k, 99L)
+      if (f.insert(key)) inserted += key else full = true
+      k += 1
+    }
+    assert(full, "expected the 16-slot filter to saturate")
+    // further failed inserts must leave the table bit-identical (some
+    // attempts may still succeed — snapshot before each one)
+    (1000L until 1040L).foreach { i =>
+      val key = XxHash64.hashLong(i, 99L)
+      val snap = f.serialized
+      if (!f.insert(key)) assert(f.serialized.sameElements(snap))
+    }
+    inserted.foreach(key => assert(f.mightContain(key), s"false negative for $key after saturation"))
+  }
+
+  test("failed merge is atomic: target restored on overflow") {
+    val a = GraftCuckooFilter.create(2)
+    val b = GraftCuckooFilter.create(2)
+    (0L until 12L).foreach(i => a.insert(XxHash64.hashLong(i, 1L)))
+    (100L until 112L).foreach(i => b.insert(XxHash64.hashLong(i, 2L)))
+    val before = a.serialized
+    val failed = a.mergeInPlace(b) // 24 fps into 16 slots must fail
+    assert(failed > 0)
+    assert(a.serialized.sameElements(before), "target mutated by failed merge")
+  }
 }
 
 class SeenSetSpec extends AnyFunSuite {
@@ -144,6 +187,17 @@ class SeenSetSpec extends AnyFunSuite {
     seenHashes.take(100).foreach(h => assert(got(h), "bloom false negative"))
     val fps = newHashes.take(100).count(got(_))
     assert(fps <= 3, s"implausible fp count $fps")
+  }
+
+  test("filterNewFiltered plans the probe cogroup exactly once") {
+    val p = 8
+    val seenDf = seenHashes.toDF("url_hash")
+    val segments = SeenSet.buildDeltaSegments(seenDf, p, expectedPerSegment = 1024)
+    val candidates = spark.createDataset((seenHashes.take(50) ++ newHashes.take(50)).map(fe))
+    val plan = SeenSet.filterNewFiltered(candidates, segments, seenDf, p)
+      .queryExecution.executedPlan.toString
+    val cogroups = "CoGroup".r.findAllIn(plan).size
+    assert(cogroups == 1, s"probe subtree duplicated: $cogroups CoGroup nodes in plan\n$plan")
   }
 
   test("property: random hash sets never produce false negatives (scalacheck gen)") {

@@ -19,6 +19,16 @@ class UrlCanonicalizerSpec extends AnyFunSuite {
     assert(canonicalize("http://h.com/p?flag&a=1") == "http://h.com/p?a=1&flag")
   }
 
+  test("many duplicate query params never crash the sort (TimSort contract)") {
+    // >= 32 tokens triggers TimSort, which throws on inconsistent comparators;
+    // identical duplicates made the old non-strict comparator inconsistent
+    val dupes = Seq.fill(64)("a=1").mkString("&")
+    assert(canonicalize(s"http://h.com/p?$dupes") == "http://h.com/p?" + Seq.fill(64)("a=1").mkString("&"))
+    val mixed = (Seq.fill(40)("k=v") ++ Seq.fill(40)("b=2")).mkString("&")
+    assert(canonicalize(s"http://h.com/p?$mixed") ==
+      "http://h.com/p?" + (Seq.fill(40)("b=2") ++ Seq.fill(40)("k=v")).mkString("&"))
+  }
+
   test("non-absolute inputs pass through trimmed") {
     assert(canonicalize(" mailto:x@y.z ") == "mailto:x@y.z")
     assert(canonicalize("/relative/path") == "/relative/path")
