@@ -52,8 +52,8 @@ object Bench {
         val pages = spark.range(0L, n, 1L, cpus.toInt)
           .mapPartitions(_.map(i => graft.synth.PageSynth.synthPage(i, n, cfg).page)).toDF()
         val robots = spark.createDataset(Seq.empty[graft.model.RobotsEntry])
-        val lake = graft.lake.CrawlLake(
-          java.nio.file.Files.createTempDirectory("graft-bench-lake").toString, spark)
+        val lake = graft.lake.CrawlLake.forCrawl(
+          java.nio.file.Files.createTempDirectory("graft-bench-lake").toString, spark, buckets = cpus.toInt)
         val driver = new graft.crawl.CrawlDriver(spark, lake, pages, robots,
           graft.crawl.CrawlConfig(budget = 200, seenPartitions = 64,
             expectedPerSegment = 1 << 14, collectStats = false))

@@ -29,8 +29,8 @@ object SparkEntry {
     val pagesDf = spark.createDataFrame(corpus.map(_.page))
     val robots = spark.createDataset(graft.synth.PageSynth.robots())(
       org.apache.spark.sql.Encoders.product[graft.model.RobotsEntry])
-    val lake = graft.lake.CrawlLake(
-      java.nio.file.Files.createTempDirectory("graft-entry-lake").toString, spark)
+    val lake = graft.lake.CrawlLake.forCrawl(
+      java.nio.file.Files.createTempDirectory("graft-entry-lake").toString, spark, buckets = 8)
     val driver = new graft.crawl.CrawlDriver(
       spark, lake, pagesDf, robots,
       graft.crawl.CrawlConfig(budget = 3, seenPartitions = 8, expectedPerSegment = 1 << 12))

@@ -33,6 +33,14 @@ final case class CrawlConfig(
       * extracted page inside the tick — the webtext-pipeline per-page
       * stage; off by default to keep the reference-parity output schema. */
     enrich: Boolean = false,
+    /** force the fetch join's build side (the scheduled batch) to
+      * broadcast. Default false: AQE size-gates the choice at runtime from
+      * the politeness output's ACTUAL size — a small batch becomes a
+      * broadcast hash join with zero pages-side shuffle, a huge one falls
+      * back to a shuffled join instead of pushing hundreds of MB through
+      * the driver (the round-1 plan broadcast unconditionally, which dies
+      * at 10^6+ hosts × budget). */
+    fetchForceBroadcast: Boolean = false,
     /** storage level for the per-tick working sets (scheduled/hit/fresh).
       * MEMORY_AND_DISK for small batches; DISK_ONLY (with spark.local.dir
       * on fast storage) when a tick's fetched pages exceed executor
@@ -64,16 +72,18 @@ final case class TickStats(
   *  - `extracted` deterministic text+KV per fetched page.
   *
   * Scale shape per tick (10^10 frontier, 100 TB pages):
-  *  1. pending: anti-join frontier ∖ fetch_log — both hash-keyed; bucket
-  *     both tables by url_hash and this is a co-partitioned join, no wide
-  *     shuffle;
+  *  1. pending: anti-join frontier ∖ fetch_log — with [[CrawlLake.forCrawl]]
+  *     both tables are url_hash-bucketed catalog tables, so the join is
+  *     co-partitioned and plans with NO Exchange on either side
+  *     (plan-asserted in CrawlDriverSpec); batch_id partition pruning keeps
+  *     the scan to committed batches;
   *  2. robots: broadcast join (dimension ≪ frontier);
   *  3. politeness: window with pre-shuffle WindowGroupLimit (see
   *     [[Politeness]]) — shuffle carries O(hosts·budget) rows only;
-  *  4. fetch: inner join pages ⋈ broadcast(scheduled batch): the scheduled
-  *     batch is small by construction (politeness-capped), so it becomes
-  *     the broadcast build side and at scale the pages scan is pruned by
-  *     DPP/bucketing on url_hash — never a full-corpus shuffle;
+  *  4. fetch: inner join pages ⋈ scheduled batch: AQE size-gates the
+  *     broadcast from the politeness output's runtime size
+  *     ([[CrawlConfig.fetchForceBroadcast]]); at scale the pages scan is
+  *     pruned by DPP/bucketing on url_hash — never a full-corpus shuffle;
   *  5. extraction runs inside whole-stage codegen ([[graft.functions.ExtractDocument]]);
   *  6. seen probe: cogrouped segment probe + exact confirm ([[SeenSet]]).
   */
@@ -101,6 +111,12 @@ final class CrawlDriver(
   def frontier: DataFrame = lake.read("frontier", frontierSchema)
   def fetchLog: DataFrame = lake.read("fetch_log", fetchSchema)
   def extracted: DataFrame = lake.read("extracted", extractedSchema)
+
+  /** The tick's PENDING view — derived state, never mutated (state model
+    * above). Exposed so specs can assert the co-partitioned plan; runBatch
+    * uses exactly this frame. */
+  def pending: DataFrame =
+    frontier.join(fetchLog.select("url_hash"), Seq("url_hash"), "left_anti")
   private def seenSegments: Dataset[SeenSet.Segment] =
     lake.read("seen", segmentSchema).as[SeenSet.Segment]
 
@@ -131,18 +147,19 @@ final class CrawlDriver(
   private def runBatch(batchId: Long): TickStats = {
     val ts = tickTs(batchId)
 
-    val pending = frontier.join(fetchLog.select("url_hash"), Seq("url_hash"), "left_anti")
     val allowed = RobotsFilter.filterAllowed(pending, robots)
     val scheduled = Politeness.schedule(allowed, cfg.budget).persist(cfg.persistLevel)
 
-    // fetch = pages ⋈ broadcast(scheduled), and BOTH extraction kernels run
+    // fetch = pages ⋈ scheduled (AQE size-gates the broadcast — see
+    // CrawlConfig.fetchForceBroadcast), and BOTH extraction kernels run
     // in this same single pass so the fat `html` column dies at the scan:
     // what gets persisted/reused downstream is the compact processed row
     // (doc struct + links array), ~50x smaller than raw html. At 100 TB
     // this is the difference between caching gigabytes and caching the
     // corpus. Misses become FAILED lineage rows.
+    val schedSide = if (cfg.fetchForceBroadcast) broadcast(scheduled) else scheduled
     val processed = pagesKeyed
-      .join(broadcast(scheduled), Seq("url_hash"), "inner")
+      .join(schedSide, Seq("url_hash"), "inner")
       .select(
         col("url_hash"), col("url"), col("host"), col("depth"),
         length(col("html")).cast("long").as("bytes"),

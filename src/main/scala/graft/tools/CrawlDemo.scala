@@ -35,7 +35,7 @@ object CrawlDemo {
     val pagesDf = spark.createDataFrame(corpus.map(_.page)).repartition(cpus.toInt)
     val robots = spark.createDataset(PageSynth.robots())(
       org.apache.spark.sql.Encoders.product[graft.model.RobotsEntry])
-    val lake = CrawlLake(Files.createTempDirectory("graft-demo-lake").toString, spark)
+    val lake = CrawlLake.forCrawl(Files.createTempDirectory("graft-demo-lake").toString, spark)
     val driver = new CrawlDriver(spark, lake, pagesDf, robots,
       CrawlConfig(budget = budget, seenPartitions = 16, expectedPerSegment = 1 << 14))
 

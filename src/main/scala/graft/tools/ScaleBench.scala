@@ -75,8 +75,9 @@ object ScaleBench {
       val pagesDf = spark.read.parquet(ensureCorpus(spark, nPages))
       val robots = spark.createDataset(Seq.empty[graft.model.RobotsEntry])(
         Encoders.product[graft.model.RobotsEntry])
-      val lake = CrawlLake(
-        Files.createTempDirectory(Paths.get("/dev/shm"), s"graft-sb-$cpus").toString, spark)
+      val lake = CrawlLake.forCrawl(
+        Files.createTempDirectory(Paths.get("/dev/shm"), s"graft-sb-$cpus").toString, spark,
+        buckets = cpus)
       val driver = new CrawlDriver(spark, lake, pagesDf, robots,
         CrawlConfig(budget = budget, seenPartitions = 64, expectedPerSegment = 1 << 16,
           collectStats = false, enrich = true,

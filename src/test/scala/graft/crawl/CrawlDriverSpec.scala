@@ -23,7 +23,7 @@ class CrawlDriverSpec extends AnyFunSuite {
   private lazy val seedUrls = PageSynth.seeds(N, 3).map(_.url)
 
   private def newDriver(cfg: CrawlConfig, pagesPartitions: Int = 4): (CrawlDriver, CrawlLake) = {
-    val lake = CrawlLake(Files.createTempDirectory("graft-lake").toString, spark)
+    val lake = CrawlLake.forCrawl(Files.createTempDirectory("graft-lake").toString, spark, buckets = 8)
     val pagesDf = spark.createDataFrame(corpus.map(_.page)).repartition(pagesPartitions)
     val robotsDs = spark.createDataset(robotsEntries)
     (new CrawlDriver(spark, lake, pagesDf, robotsDs, cfg), lake)
@@ -126,7 +126,7 @@ class CrawlDriverSpec extends AnyFunSuite {
     val cfg = CrawlConfig(
       budget = 5, seenPartitions = 8, expectedPerSegment = 4096,
       linkFilterContains = Some("DownloadDocumentPDF"))
-    val lake = CrawlLake(Files.createTempDirectory("graft-lake-ref").toString, spark)
+    val lake = CrawlLake.forCrawl(Files.createTempDirectory("graft-lake-ref").toString, spark, buckets = 8)
     val driver = new CrawlDriver(
       spark, lake, spark.createDataFrame(corpus.map(_.page)),
       spark.createDataset(Seq.empty[graft.model.RobotsEntry]), cfg)
@@ -165,7 +165,7 @@ class CrawlDriverSpec extends AnyFunSuite {
       if (e.host == PageSynth.hostName(0)) e.copy(crawl_delay = 30.0) else e
     }
     val cfg = CrawlConfig(budget = 5, seenPartitions = 8, expectedPerSegment = 4096)
-    val lake = CrawlLake(Files.createTempDirectory("graft-lake-delay").toString, spark)
+    val lake = CrawlLake.forCrawl(Files.createTempDirectory("graft-lake-delay").toString, spark, buckets = 8)
     val driver = new CrawlDriver(
       spark, lake, spark.createDataFrame(corpus.map(_.page)),
       spark.createDataset(slowRobots), cfg)
@@ -180,6 +180,24 @@ class CrawlDriverSpec extends AnyFunSuite {
       corpus, seedUrls, budget = 5, ticks = 3,
       slowRobots.map(e => e.host -> e).toMap)
     assert(engineOrder(driver) == sim.crawlOrder.map(r => (r.batchId, r.urlHash, r.status)))
+  }
+
+  test("bucketed lake: PENDING anti-join plans with zero shuffle exchanges") {
+    val cfg = CrawlConfig(budget = 2, seenPartitions = 8, expectedPerSegment = 4096)
+    val (driver, _) = newDriver(cfg)
+    driver.init(PageSynth.seeds(N, 3))
+    driver.run(2)
+    // force SMJ so the assertion is about co-partitioning, not a trivially
+    // exchange-free broadcast join
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = driver.pending.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"frontier ∖ fetch_log should be co-partitioned by the bucket layout:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
   test("tick stats are coherent and lineage covers every schedule") {

@@ -63,9 +63,14 @@ class CrawlLakeSpec extends AnyFunSuite {
     val deleted = lake.gcOrphans()
     assert(deleted.exists(_.endsWith("batch-999999")))
     assert(lake.read("t", schema).count() == 2) // referenced dirs untouched
-    // limiting depth to 1 snapshot GCs dirs only referenced by v0... v1
-    // inherits v0's dirs (append table), so nothing else is deletable
-    assert(lake.gcOrphans(keepSnapshots = 1).isEmpty)
+    // limiting depth to 1 snapshot: v1 inherits v0's dirs (append table), so
+    // no data dir is deletable — but v0's manifest is tombstoned with its
+    // window, so an expired time-travel read errors instead of surfacing a
+    // raw FileNotFoundException from missing data dirs
+    val deleted2 = lake.gcOrphans(keepSnapshots = 1)
+    assert(deleted2.exists(_.endsWith("v0.json")) && !deleted2.exists(_.contains("batch-")))
+    assert(lake.read("t", schema).count() == 2)
+    intercept[Exception](lake.read("t", schema, Some(0L)))
   }
 
   test("commit of an empty DataFrame keeps the manifest tight") {
