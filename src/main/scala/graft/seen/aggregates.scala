@@ -132,33 +132,55 @@ case class FilterMightContain(left: Expression, right: Expression)
 }
 
 object SeenSegments {
-  /** Magic-dispatched probe function over a serialized segment. */
-  def probeFn(bytes: Array[Byte]): Long => Boolean = {
+  private def magicOf(bytes: Array[Byte]): Int = {
     require(bytes.length >= 4, "empty segment blob")
-    val magic = java.nio.ByteBuffer.wrap(bytes, 0, 4).getInt
-    magic match {
-      case GraftBloomFilter.Magic =>
-        val f = GraftBloomFilter.deserialize(bytes); f.mightContain _
-      case GraftCuckooFilter.Magic =>
-        val f = GraftCuckooFilter.deserialize(bytes); f.mightContain _
-      case m => throw new IllegalArgumentException(f"unknown segment magic 0x$m%08x")
-    }
+    java.nio.ByteBuffer.wrap(bytes, 0, 4).getInt
   }
 
-  /** Magic-dispatched binary merge of two serialized segments (Bloom OR /
-    * cuckoo re-insert) — used to fold a batch's delta segments into the
-    * previous snapshot's segments with a P-row join, no rehash of history. */
+  /** Magic-dispatched probe function over a serialized segment. */
+  def probeFn(bytes: Array[Byte]): Long => Boolean = magicOf(bytes) match {
+    case GraftBloomFilter.Magic =>
+      val f = GraftBloomFilter.deserialize(bytes); f.mightContain _
+    case GraftCuckooFilter.Magic =>
+      val f = GraftCuckooFilter.deserialize(bytes); f.mightContain _
+    case GraftLongList.Magic =>
+      GraftLongList.containsFn(bytes)
+    case m => throw new IllegalArgumentException(f"unknown segment magic 0x$m%08x")
+  }
+
+  /** Magic-dispatched binary merge of two serialized segments — used to fold
+    * a batch's delta segments into the previous snapshot's segments with a
+    * P-row join, no rehash of history. Kinds compose: filter ⊕ filter is the
+    * native merge (Bloom OR / cuckoo fingerprint re-insert, same geometry
+    * required); filter ⊕ list re-inserts the list's raw keys (no geometry
+    * coupling — this is how exact deltas compact into filters); list ⊕ list
+    * concatenates. */
   def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
-    val magic = java.nio.ByteBuffer.wrap(a, 0, 4).getInt
-    magic match {
-      case GraftBloomFilter.Magic =>
+    val (ma, mb) = (magicOf(a), magicOf(b))
+    // normalize: when exactly one side is a list, fold it into the filter
+    if (ma == GraftLongList.Magic && mb != GraftLongList.Magic) return merge(b, a)
+    (ma, mb) match {
+      case (GraftBloomFilter.Magic, GraftLongList.Magic) =>
+        val f = GraftBloomFilter.deserialize(a)
+        GraftLongList.deserialize(b).foreach(f.insert)
+        f.serialized
+      case (GraftCuckooFilter.Magic, GraftLongList.Magic) =>
+        val f = GraftCuckooFilter.deserialize(a)
+        GraftLongList.deserialize(b).foreach { k =>
+          if (!f.insert(k))
+            throw new IllegalStateException("cuckoo segment saturated while folding delta keys")
+        }
+        f.serialized
+      case (GraftLongList.Magic, GraftLongList.Magic) =>
+        GraftLongList.serialize(GraftLongList.deserialize(a) ++ GraftLongList.deserialize(b))
+      case (GraftBloomFilter.Magic, GraftBloomFilter.Magic) =>
         GraftBloomFilter.deserialize(a).mergeInPlace(GraftBloomFilter.deserialize(b)).serialized
-      case GraftCuckooFilter.Magic =>
+      case (GraftCuckooFilter.Magic, GraftCuckooFilter.Magic) =>
         val f = GraftCuckooFilter.deserialize(a)
         val failed = f.mergeInPlace(GraftCuckooFilter.deserialize(b))
         if (failed > 0) throw new IllegalStateException(s"cuckoo merge dropped $failed fingerprints")
         f.serialized
-      case m => throw new IllegalArgumentException(f"unknown segment magic 0x$m%08x")
+      case (x, y) => throw new IllegalArgumentException(f"unmergeable segment kinds 0x$x%08x / 0x$y%08x")
     }
   }
 

@@ -200,6 +200,30 @@ class CrawlDriverSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("seen deltas are exact lists (bytes ∝ admitted); compaction keeps the oracle exact") {
+    val cfg = CrawlConfig(
+      budget = 2, seenPartitions = 8, expectedPerSegment = 4096, seenCompactEvery = 3)
+    val (driver, lake) = newDriver(cfg)
+    driver.init(PageSynth.seeds(N, 3))
+    driver.run(4) // ticks 1..4; compaction replaces `seen` at tick 3
+    val sim = simResult(budget = 2, ticks = 4)
+    assert(engineOrder(driver) == sim.crawlOrder.map(r => (r.batchId, r.urlHash, r.status)))
+
+    // after the tick-3 compaction + the tick-4 delta append, `seen` lists
+    // exactly two dirs (compacted filters + one delta) — not one per tick
+    val seenDirs = lake.manifest(lake.latestSnapshotId.get)("seen")
+    assert(seenDirs.size == 2, seenDirs)
+
+    // delta blobs are raw sorted hashes: 16 bytes fixed header + 8 B/key —
+    // per-tick seen bytes track the admitted count, never P × filter size
+    val segs = lake.read(
+      "seen", org.apache.spark.sql.Encoders.product[graft.seen.SeenSet.Segment].schema)
+      .as[graft.seen.SeenSet.Segment].collect()
+    val (lists, filters) = segs.partition(s => s.segment.length == 8 + 8 * s.n_items)
+    assert(lists.nonEmpty && filters.nonEmpty, s"want both kinds, got ${segs.length} segments")
+    assert(lists.map(_.segment.length.toLong).sum < filters.map(_.segment.length.toLong).sum / 4)
+  }
+
   test("tick stats are coherent and lineage covers every schedule") {
     val cfg = CrawlConfig(budget = 2, seenPartitions = 8, expectedPerSegment = 4096)
     val (driver, _) = newDriver(cfg)

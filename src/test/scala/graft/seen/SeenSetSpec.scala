@@ -189,6 +189,41 @@ class SeenSetSpec extends AnyFunSuite {
     assert(fps <= 3, s"implausible fp count $fps")
   }
 
+  test("long-list delta segments: probe + merge dispatch across kinds") {
+    val blob = GraftLongList.serialize(Array(5L, 1L, 9L, 1L))
+    val probe = SeenSegments.probeFn(blob)
+    assert(probe(1L) && probe(5L) && probe(9L) && !probe(2L))
+    // list ⊕ list
+    val ll = SeenSegments.merge(blob, GraftLongList.serialize(Array(2L)))
+    assert(SeenSegments.probeFn(ll)(2L) && SeenSegments.probeFn(ll)(9L))
+    // filter ⊕ list (both argument orders) folds keys into the filter
+    val bloom = GraftBloomFilter.forExpected(100, 1e-3)
+    bloom.insert(42L)
+    Seq(SeenSegments.merge(bloom.serialized, blob), SeenSegments.merge(blob, bloom.serialized))
+      .foreach { b =>
+        assert(java.nio.ByteBuffer.wrap(b, 0, 4).getInt == GraftBloomFilter.Magic)
+        val p = SeenSegments.probeFn(b)
+        assert(p(42L) && p(1L) && p(5L) && p(9L))
+      }
+    val cuckoo = GraftCuckooFilter.forExpected(100)
+    cuckoo.insert(42L)
+    val cl = SeenSegments.merge(cuckoo.serialized, blob)
+    assert(SeenSegments.probeFn(cl)(42L) && SeenSegments.probeFn(cl)(9L))
+  }
+
+  test("filterNewFiltered is exact over mixed filter + delta-list segments") {
+    val p = 8
+    val (seenA, seenB) = seenHashes.splitAt(1500)
+    val segments = SeenSet.buildDeltaSegments(seenA.toDF("url_hash"), p, 1024)
+      .unionByName(SeenSet.buildDeltaList(seenB.toDF("url_hash"), p))
+    val seenDf = seenHashes.toDF("url_hash")
+    val candidates = spark.createDataset(
+      (seenA.take(100) ++ seenB.take(100) ++ newHashes).map(fe))
+    val out = SeenSet.filterNewFiltered(candidates, segments, seenDf, p)
+      .collect().map(_.url_hash).sorted
+    assert(out.toSeq == newHashes.sorted.toSeq)
+  }
+
   test("filterNewFiltered plans the probe cogroup exactly once") {
     val p = 8
     val seenDf = seenHashes.toDF("url_hash")
