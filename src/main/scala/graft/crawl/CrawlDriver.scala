@@ -46,6 +46,12 @@ final case class CrawlConfig(
       * segments (bytes ∝ admitted URLs, not P × filter size); the probe
       * cogroup ORs filter ⊕ deltas, so correctness is unaffected. */
     seenCompactEvery: Int = 8,
+    /** fold the lake's bucketed tick partitions (frontier/fetch_log) into
+      * one compacted partition and consolidate extracted's dirs every K
+      * ticks, bounding read-side file counts over long crawls (0 = off —
+      * the Iceberg-rewrite-style maintenance is an explicit choice, like
+      * running expire-snapshots). */
+    lakeCompactEvery: Int = 0,
     /** storage level for the per-tick working sets (scheduled/hit/fresh).
       * MEMORY_AND_DISK for small batches; DISK_ONLY (with spark.local.dir
       * on fast storage) when a tick's fetched pages exceed executor
@@ -278,6 +284,11 @@ final class CrawlDriver(
     scheduled.unpersist()
     processed.unpersist()
     fresh.unpersist()
+
+    if (cfg.lakeCompactEvery > 0 && batchId % cfg.lakeCompactEvery.toLong == 0L) {
+      lake.bucketed.keys.toSeq.sorted.foreach(lake.compactBucketed)
+      lake.compactTable("extracted")
+    }
     stats
   }
 

@@ -74,13 +74,15 @@ final class CrawlLake(
 
   // register bucketed tables (idempotent; a fresh JVM over an existing lake
   // re-registers and recovers the on-disk partitions)
+  // The physical partition column `_pbatch` is deliberately distinct from
+  // any data column: fetch_log's batch_id is DATA (crawl order depends on
+  // it), while _pbatch is storage lineage that compaction may relabel.
   bucketed.foreach { case (table, spec) =>
-    val dataCols = spec.schema.fields.filterNot(_.name == "batch_id")
-    val ddlCols = (dataCols.map(f => s"${f.name} ${f.dataType.sql}") :+ "batch_id BIGINT").mkString(", ")
+    val ddlCols = (spec.schema.fields.map(f => s"${f.name} ${f.dataType.sql}") :+ "_pbatch BIGINT").mkString(", ")
     val loc = rootPath.resolve("bucketed").resolve(table).toAbsolutePath
     spark.sql(
       s"""CREATE TABLE IF NOT EXISTS ${catalogName(table)} ($ddlCols)
-         |USING parquet PARTITIONED BY (batch_id)
+         |USING parquet PARTITIONED BY (_pbatch)
          |CLUSTERED BY (${spec.bucketCol}) SORTED BY (${spec.bucketCol}) INTO ${spec.numBuckets} BUCKETS
          |LOCATION '$loc'""".stripMargin)
     try spark.catalog.recoverPartitions(catalogName(table))
@@ -120,8 +122,17 @@ final class CrawlLake(
         case None =>
           spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         case Some(id) =>
+          val visible = compactMeta(id).get(table) match {
+            case Some((cid, through)) =>
+              // post-compaction: one negative compacted partition + the tick
+              // partitions after the watermark (both ranges partition-prune)
+              (col("_pbatch") === lit(-cid)) ||
+                (col("_pbatch") > lit(through) && col("_pbatch") <= batchIdOf(id))
+            case None =>
+              col("_pbatch") >= 0L && col("_pbatch") <= batchIdOf(id)
+          }
           spark.table(catalogName(table))
-            .where(col("batch_id") <= batchIdOf(id))
+            .where(visible)
             .select(schema.fieldNames.map(col).toIndexedSeq: _*)
       }
     } else {
@@ -155,33 +166,6 @@ final class CrawlLake(
       if (hasData) Some(dir) else None
     }
 
-    /** Bucketed-table write of THIS batch's partition. Idempotent under
-      * deterministic batch retry: a crash leftover of the same batch is
-      * dropped first (cheap — almost never present), then the insert runs
-      * as a plain append, which skips the dynamic-overwrite staging churn.
-      * Invisible to readers until the manifest commits (they filter
-      * batch_id <= committed). */
-    def writeBucketedPartition(table: String, df: DataFrame): Unit = {
-      val spec = bucketed(table)
-      val name = catalogName(table)
-      val partDir = rootPath.resolve("bucketed").resolve(table).resolve(s"batch_id=$batchId")
-      if (Files.exists(partDir)) {
-        spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION (batch_id=$batchId)")
-        scala.util.Using.resource(Files.walk(partDir))(
-          _.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_)))
-      }
-      val dataCols = spec.schema.fieldNames.filterNot(_ == "batch_id")
-      val withBatch =
-        if (df.columns.contains("batch_id")) df else df.withColumn("batch_id", lit(batchId))
-      val t0 = System.nanoTime()
-      withBatch
-        .select((dataCols :+ "batch_id").map(col).toIndexedSeq: _*)
-        .write.mode(SaveMode.Append)
-        .insertInto(catalogName(table))
-      if (sys.env.contains("GRAFT_TRACE"))
-        println(f"[trace] write $table (bucketed): ${(System.nanoTime() - t0) / 1e9}%.2fs")
-    }
-
     // The per-table writes are independent Spark jobs over disjoint sinks —
     // run them concurrently so one tick's commit costs max(write) wall time,
     // not sum(write); Spark's scheduler interleaves their stages across the
@@ -197,7 +181,7 @@ final class CrawlLake(
     val futures =
       appends.toSeq.map {
         case (t, df) if bucketed.contains(t) =>
-          Future { writeBucketedPartition(t, df); t -> Vector.empty[String] }
+          Future { writeBucketedPartition(t, df, batchId); t -> Vector.empty[String] }
         case (t, df) =>
           Future(t -> (prev.getOrElse(t, Vector.empty) ++ writeDir(t, df)))
       } ++ replaces.toSeq.map { case (t, df) =>
@@ -207,20 +191,143 @@ final class CrawlLake(
       case (t, dirs) => if (!bucketed.contains(t)) updated(t) = dirs
     }
 
+    publishSnapshot(nextId, batchId, updated.toMap, prevId.map(compactMeta).getOrElse(Map.empty))
+    nextId
+  }
+
+  /** Per-table compaction watermark at a snapshot: (compact_id, through) —
+    * rows of a bucketed table live either in the compacted partition
+    * `batch_id = -compact_id` or in tick partitions `batch_id > through`. */
+  def compactMeta(id: Long): Map[String, (Long, Long)] = {
+    val node = mapper.readTree(Files.readString(manifestPath(id)))
+    Option(node.get("compact")).map { c =>
+      val obj = c.asInstanceOf[ObjectNode]
+      obj.fieldNames().asScala.map { t =>
+        t -> (obj.get(t).get("compact_id").asLong(), obj.get(t).get("through").asLong())
+      }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** Write manifest v<nextId>.json then atomically flip LATEST (steps 2+3 of
+    * the commit protocol). */
+  private def publishSnapshot(
+      nextId: Long,
+      batchId: Long,
+      tables: Map[String, Vector[String]],
+      compact: Map[String, (Long, Long)]): Unit = {
     val rootNode = mapper.createObjectNode()
     rootNode.put("id", nextId)
     rootNode.put("batch_id", batchId)
     val tablesNode = rootNode.putObject("tables")
-    updated.toSeq.sortBy(_._1).foreach { case (t, dirs) =>
+    tables.toSeq.sortBy(_._1).foreach { case (t, dirs) =>
       val arr = tablesNode.putArray(t)
       dirs.foreach(arr.add)
+    }
+    if (compact.nonEmpty) {
+      val cNode = rootNode.putObject("compact")
+      compact.toSeq.sortBy(_._1).foreach { case (t, (cid, through)) =>
+        val o = cNode.putObject(t)
+        o.put("compact_id", cid)
+        o.put("through", through)
+      }
     }
     Files.writeString(manifestPath(nextId), mapper.writerWithDefaultPrettyPrinter().writeValueAsString(rootNode))
 
     val tmp = snapDir.resolve(s".LATEST.tmp.$nextId")
     Files.writeString(tmp, nextId.toString)
     Files.move(tmp, snapDir.resolve("LATEST"), StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    nextId
+  }
+
+  /** Bucketed-table write of one partition. Idempotent: a crash leftover of
+    * the same partition is dropped first (cheap — almost never present),
+    * then the insert runs as a plain append, which skips the
+    * dynamic-overwrite staging churn. Invisible to readers until a manifest
+    * referencing the partition id commits. */
+  private def writeBucketedPartition(table: String, df: DataFrame, partitionId: Long): Unit = {
+    val spec = bucketed(table)
+    val name = catalogName(table)
+    dropPartition(table, partitionId)
+    val t0 = System.nanoTime()
+    df.withColumn("_pbatch", lit(partitionId))
+      .select((spec.schema.fieldNames :+ "_pbatch").map(col).toIndexedSeq: _*)
+      .write.mode(SaveMode.Append)
+      .insertInto(name)
+    if (sys.env.contains("GRAFT_TRACE"))
+      println(f"[trace] write $table (bucketed): ${(System.nanoTime() - t0) / 1e9}%.2fs")
+  }
+
+  private def dropPartition(table: String, partitionId: Long): Unit = {
+    val partDir = rootPath.resolve("bucketed").resolve(table).resolve(s"_pbatch=$partitionId")
+    if (Files.exists(partDir)) {
+      spark.sql(s"ALTER TABLE ${catalogName(table)} DROP IF EXISTS PARTITION (_pbatch=$partitionId)")
+      scala.util.Using.resource(Files.walk(partDir))(
+        _.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_)))
+    }
+  }
+
+  /** Registered partition values of a bucketed table (catalog view). */
+  def partitionIds(table: String): Seq[Long] =
+    spark.sql(s"SHOW PARTITIONS ${catalogName(table)}")
+      .collect().map(_.getString(0).stripPrefix("_pbatch=").toLong).toSeq
+
+  /** Compact a bucketed table: fold every partition visible at the latest
+    * snapshot into ONE partition (`batch_id = -newSnapshotId`), publish a
+    * snapshot whose compaction watermark points at it, then drop the
+    * superseded partitions. Bounds read-side file count at one file per
+    * bucket (plus one per tick since the last compaction) across arbitrarily
+    * long runs — the reference's DynamoDB compacted for free; here it's an
+    * explicit Iceberg-rewrite-style maintenance action.
+    *
+    * Crash-safe: the consolidated partition is invisible until the manifest
+    * flips (negative ids match only through the watermark), a retry
+    * overwrites it, and the superseded partitions are dropped only AFTER the
+    * flip. Tick numbering is untouched (batch ids stay sequential).
+    * Like Iceberg's expire-snapshots, time-travel to snapshots older than
+    * the compaction is expired. */
+  def compactBucketed(table: String): Long = {
+    require(bucketed.contains(table), s"$table is not a bucketed table")
+    val latest = latestSnapshotId.getOrElse(throw new IllegalStateException("empty lake"))
+    val committed = batchIdOf(latest)
+    val meta = compactMeta(latest)
+    val spec = bucketed(table)
+    val newId = latest + 1
+    // stage a consistent copy (Spark refuses insert-into-read-from-self),
+    // then load it into the consolidated partition
+    val staging = rootPath.resolve("data").resolve(s".compact-$table-$newId").toString
+    read(table, spec.schema).write.mode("overwrite").parquet(staging)
+    writeBucketedPartition(
+      table, spark.read.schema(spec.schema).parquet(staging), -newId)
+    publishSnapshot(
+      newId, committed,
+      manifest(latest),
+      meta + (table -> (newId, committed)))
+    // superseded partitions are now invisible — reclaim them
+    val keep = -newId
+    partitionIds(table).filter(_ != keep)
+      .filter(p => p < 0 || p <= committed)
+      .foreach(dropPartition(table, _))
+    scala.util.Using.resource(Files.walk(Paths.get(staging)))(
+      _.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_)))
+    newId
+  }
+
+  /** Compact a dir-based append table: rewrite its accumulated dirs into one
+    * consolidated dir and publish a snapshot listing only that dir; the
+    * superseded dirs become unreferenced by later snapshots and are
+    * reclaimed by [[gcOrphans]] once time-travel depth allows. */
+  def compactTable(table: String): Long = {
+    require(!bucketed.contains(table), s"$table is bucketed; use compactBucketed")
+    val latest = latestSnapshotId.getOrElse(throw new IllegalStateException("empty lake"))
+    val dirs = manifest(latest).getOrElse(table, Vector.empty)
+    if (dirs.size <= 1) return latest
+    val newId = latest + 1
+    val dir = rootPath.resolve("data").resolve(table).resolve(f"compact-$newId%09d").toString
+    spark.read.parquet(dirs: _*).write.mode("overwrite").parquet(dir)
+    publishSnapshot(
+      newId, batchIdOf(latest),
+      manifest(latest) + (table -> Vector(dir)),
+      compactMeta(latest))
+    newId
   }
 
   /** Garbage-collect data directories referenced by NO manifest ≤ latest —

@@ -224,6 +224,31 @@ class CrawlDriverSpec extends AnyFunSuite {
     assert(lists.map(_.segment.length.toLong).sum < filters.map(_.segment.length.toLong).sum / 4)
   }
 
+  test("lake compaction bounds partition growth, preserves the oracle, and resumes exactly") {
+    val cfg = CrawlConfig(
+      budget = 2, seenPartitions = 8, expectedPerSegment = 4096, lakeCompactEvery = 2)
+    val (driver, lake) = newDriver(cfg)
+    driver.init(PageSynth.seeds(N, 3))
+    driver.run(4) // compactions after ticks 2 and 4
+    val sim = simResult(budget = 2, ticks = 4)
+    assert(engineOrder(driver) == sim.crawlOrder.map(r => (r.batchId, r.urlHash, r.status)))
+
+    // bucketed tables hold one compacted partition (+ ticks since, here 0)
+    assert(lake.partitionIds("frontier").size <= 2, lake.partitionIds("frontier"))
+    assert(lake.partitionIds("fetch_log").size <= 2, lake.partitionIds("fetch_log"))
+    // extracted consolidated to one dir
+    assert(lake.manifest(lake.latestSnapshotId.get)("extracted").size == 1)
+
+    // resume over the compacted lake (fresh CrawlLake = fresh-JVM path)
+    val lake2 = graft.lake.CrawlLake.forCrawl(lake.root, spark, buckets = 8)
+    val resumed = new CrawlDriver(
+      spark, lake2, spark.createDataFrame(corpus.map(_.page)),
+      spark.createDataset(robotsEntries), cfg)
+    resumed.run(1)
+    val simFull = simResult(budget = 2, ticks = 5)
+    assert(engineOrder(resumed) == simFull.crawlOrder.map(r => (r.batchId, r.urlHash, r.status)))
+  }
+
   test("tick stats are coherent and lineage covers every schedule") {
     val cfg = CrawlConfig(budget = 2, seenPartitions = 8, expectedPerSegment = 4096)
     val (driver, _) = newDriver(cfg)

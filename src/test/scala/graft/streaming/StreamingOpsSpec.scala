@@ -50,6 +50,46 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming end-to-end crawl ≡ batch loop (one tick per micro-batch)") {
+    val N = 150L
+    val corpus = graft.synth.PageSynth.pages(N)
+    val robots = graft.synth.PageSynth.robots()
+    val cfg = graft.crawl.CrawlConfig(budget = 2, seenPartitions = 8, expectedPerSegment = 4096)
+    def mkDriver(tag: String) = {
+      val lake = graft.lake.CrawlLake.forCrawl(
+        Files.createTempDirectory(s"graft-stream-$tag").toString, spark, buckets = 8)
+      val d = new graft.crawl.CrawlDriver(
+        spark, lake, spark.createDataFrame(corpus.map(_.page)),
+        spark.createDataset(robots)(Encoders.product[graft.model.RobotsEntry]), cfg)
+      d.init(graft.synth.PageSynth.seeds(N, 3))
+      d
+    }
+
+    val batchDriver = mkDriver("batch")
+    batchDriver.run(3)
+
+    val streamDriver = mkDriver("cont")
+    val ticks = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+    val statsSeen = scala.collection.mutable.ArrayBuffer.empty[graft.crawl.TickStats]
+    val q = StreamingCrawl.start(
+      streamDriver, ticks.toDF(),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      checkpointDir = Some(Files.createTempDirectory("graft-stream-crawl-ckpt").toString),
+      onTick = s => statsSeen.synchronized { statsSeen += s })
+    try {
+      // one tick per micro-batch: add → drain, three times (E1 schedule edges)
+      (1 to 3).foreach { i => ticks.addData(i.toLong); q.processAllAvailable() }
+    } finally q.stop()
+
+    assert(statsSeen.size == 3, s"expected 3 ticks, saw ${statsSeen.map(_.batchId)}")
+    def order(d: graft.crawl.CrawlDriver) =
+      d.crawlOrder().select("batch_id", "url_hash", "status")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toVector
+    assert(order(streamDriver) == order(batchDriver))
+    assert(streamDriver.frontier.select("url_hash").as[Long].collect().toSet ==
+      batchDriver.frontier.select("url_hash").as[Long].collect().toSet)
+  }
+
   test("windowed fetch-rate aggregation over a fetch_log stream") {
     val dir = Files.createTempDirectory("graft-stream-fetchlog").toString
     val sink = s"rate_sink_${System.identityHashCode(this)}"
