@@ -49,19 +49,91 @@ object Media {
     else "bin"
   }
 
-  /** STUB decode: real format sniff; dimensions/frames/rate are
-    * deterministic fakes derived from the content hash. Replace the fake
-    * section with a real codec call when one is available. */
+  @inline private def u8(b: Byte): Int = b & 0xff
+  @inline private def be16(a: Array[Byte], i: Int): Int = (u8(a(i)) << 8) | u8(a(i + 1))
+  @inline private def le16(a: Array[Byte], i: Int): Int = u8(a(i)) | (u8(a(i + 1)) << 8)
+  @inline private def be32(a: Array[Byte], i: Int): Int =
+    (u8(a(i)) << 24) | (u8(a(i + 1)) << 16) | (u8(a(i + 2)) << 8) | u8(a(i + 3))
+  @inline private def le32(a: Array[Byte], i: Int): Int =
+    u8(a(i)) | (u8(a(i + 1)) << 8) | (u8(a(i + 2)) << 16) | (u8(a(i + 3)) << 24)
+
+  /** REAL header parsing for the publicly-specified container headers —
+    * pure JVM, no codec needed:
+    *  - PNG: IHDR width/height (big-endian u32 at offsets 16/20);
+    *  - GIF: logical-screen width/height (little-endian u16 at 6/8) and the
+    *    frame count by walking image-descriptor (0x2C) / extension (0x21)
+    *    blocks;
+    *  - JPEG: SOFn segment scan (height/width big-endian u16 at +5/+7 of
+    *    the first SOF0..SOF15 marker, skipping DHT/DAC/RST);
+    *  - WAV: fmt-chunk sample rate (little-endian u32 at 24).
+    * Returns None when the format has no JVM-parseable header here (mp4)
+    * or the bytes are truncated — the caller falls back to the stub. */
+  def parseHeader(bytes: Array[Byte], format: String): Option[(Int, Int, Int, Int)] =
+    try {
+      format match {
+        case "png" if bytes.length >= 24 =>
+          Some((be32(bytes, 16), be32(bytes, 20), 1, 0))
+        case "gif" if bytes.length >= 10 =>
+          // frame count: walk blocks after the logical screen descriptor
+          val w = le16(bytes, 6); val h = le16(bytes, 8)
+          val gctSize = if ((u8(bytes(10)) & 0x80) != 0) 3 * (1 << ((u8(bytes(10)) & 7) + 1)) else 0
+          var i = 13 + gctSize
+          var frames = 0
+          var done = false
+          while (!done && i < bytes.length) {
+            u8(bytes(i)) match {
+              case 0x3b => done = true // trailer
+              case 0x21 => // extension: label + sub-blocks
+                i += 2
+                while (i < bytes.length && u8(bytes(i)) != 0) i += 1 + u8(bytes(i))
+                i += 1
+              case 0x2c => // image descriptor
+                frames += 1
+                val lctSize = if (i + 9 < bytes.length && (u8(bytes(i + 9)) & 0x80) != 0)
+                  3 * (1 << ((u8(bytes(i + 9)) & 7) + 1)) else 0
+                i += 10 + lctSize + 1 // descriptor + LCT + LZW min-code byte
+                while (i < bytes.length && u8(bytes(i)) != 0) i += 1 + u8(bytes(i))
+                i += 1
+              case _ => done = true // malformed: stop, keep what we have
+            }
+          }
+          Some((w, h, math.max(frames, 1), 0))
+        case "jpeg" =>
+          var i = 2
+          var out: Option[(Int, Int, Int, Int)] = None
+          while (out.isEmpty && i + 9 < bytes.length && u8(bytes(i)) == 0xff) {
+            val marker = u8(bytes(i + 1))
+            if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+              out = Some((be16(bytes, i + 7), be16(bytes, i + 5), 1, 0))
+            else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+            else i += 2 + be16(bytes, i + 2)
+          }
+          out
+        case "wav" if bytes.length >= 28 =>
+          Some((0, 0, 1, le32(bytes, 24)))
+        case _ => None
+      }
+    } catch { case _: IndexOutOfBoundsException => None }
+
+  /** Decode: real format sniff + REAL header metadata for png/gif/jpeg/wav;
+    * only formats without a JVM-parseable header here (mp4) fall back to the
+    * clearly-marked deterministic fake. Replace the fallback with a real
+    * codec call when one is available. */
   def decodeStub(bytes: Array[Byte]): MediaMeta = {
     if (bytes == null) return MediaMeta("null", 0, 0, 0, 0, 0L)
     val format = sniffFormat(bytes)
-    val h = XxHash64.hash(bytes, 7L)
-    // --- deterministic fake (no codec in container) ---
-    val width = 64 + math.floorMod(h, 1920L).toInt
-    val height = 64 + math.floorMod(h >>> 17, 1080L).toInt
-    val frames = if (format == "mp4" || format == "gif") 1 + math.floorMod(h >>> 31, 240L).toInt else 1
-    val rate = if (format == "wav" || format == "mp4") 16000 else 0
-    MediaMeta(format, width, height, frames, rate, bytes.length.toLong)
+    parseHeader(bytes, format) match {
+      case Some((w, h, frames, rate)) =>
+        MediaMeta(format, w, h, frames, rate, bytes.length.toLong)
+      case None =>
+        val hsh = XxHash64.hash(bytes, 7L)
+        // --- deterministic fake (no codec in container) ---
+        val width = 64 + math.floorMod(hsh, 1920L).toInt
+        val height = 64 + math.floorMod(hsh >>> 17, 1080L).toInt
+        val frames = if (format == "mp4") 1 + math.floorMod(hsh >>> 31, 240L).toInt else 1
+        val rate = if (format == "mp4") 16000 else 0
+        MediaMeta(format, width, height, frames, rate, bytes.length.toLong)
+    }
   }
 
   /** STUB feature extraction: deterministic pseudo-embedding of `dim`

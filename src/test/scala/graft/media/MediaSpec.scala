@@ -28,6 +28,50 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.sniffFormat(mp4) == "mp4")
   }
 
+  test("golden headers: PNG IHDR / GIF screen+frames / JPEG SOF0 / WAV rate parse for real") {
+    // PNG: signature + IHDR chunk, width=640 height=480 (big-endian u32)
+    val goldenPng = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80.toByte, // 640
+      0, 0, 1, 0xe0.toByte, // 480
+      8, 6, 0, 0, 0)
+    assert(Media.decodeStub(goldenPng) == Media.MediaMeta("png", 640, 480, 1, 0, goldenPng.length.toLong))
+
+    // GIF89a: 320x200 logical screen, no GCT, two image descriptors
+    def gifFrame: Array[Byte] =
+      Array[Byte](0x2c, 0, 0, 0, 0, 0x40, 1, 0xc8.toByte, 0, 0x00, // descriptor, no LCT
+        2, // LZW min code size
+        1, 0x44, // one 1-byte sub-block
+        0) // sub-block terminator
+    val goldenGif = "GIF89a".getBytes("ASCII") ++
+      Array[Byte](0x40, 1, 0xc8.toByte, 0, 0x00, 0, 0) ++ // 320x200, no GCT
+      gifFrame ++ gifFrame ++ Array[Byte](0x3b)
+    assert(Media.decodeStub(goldenGif) == Media.MediaMeta("gif", 320, 200, 2, 0, goldenGif.length.toLong))
+
+    // JPEG: SOI + SOF0 with height=600 width=800
+    val goldenJpeg = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xc0.toByte, 0, 11, 8,
+      2, 0x58, // height 600
+      3, 0x20, // width 800
+      1, 1, 0x11, 0) ++ Array.fill[Byte](8)(0)
+    assert(Media.decodeStub(goldenJpeg) == Media.MediaMeta("jpeg", 800, 600, 1, 0, goldenJpeg.length.toLong))
+
+    // JPEG with a leading APP0 segment before the SOF (marker scan must skip it)
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 4, 0x4a, 0x46)
+    val goldenJpeg2 = goldenJpeg.take(2) ++ app0 ++ goldenJpeg.drop(2)
+    assert(Media.decodeStub(goldenJpeg2).width == 800)
+    assert(Media.decodeStub(goldenJpeg2).height == 600)
+
+    // WAV: RIFF/WAVE with fmt chunk, sample rate 44100 little-endian at 24
+    val goldenWav = "RIFF".getBytes("ASCII") ++ Array[Byte](36, 0, 0, 0) ++
+      "WAVEfmt ".getBytes("ASCII") ++ Array[Byte](16, 0, 0, 0, 1, 0, 2, 0,
+        0x44, 0xac.toByte, 0, 0) ++ Array.fill[Byte](8)(0)
+    assert(Media.decodeStub(goldenWav) == Media.MediaMeta("wav", 0, 0, 1, 44100, goldenWav.length.toLong))
+
+    // truncated header never throws — falls back to the marked stub
+    assert(Media.decodeStub(goldenPng.take(14)).format == "png")
+  }
+
   test("decodeMeta: batched partition map emits typed meta struct") {
     val out = Media.decodeMeta(mediaDf, batchSize = 2)
     assert(out.schema.fieldNames.toSeq ==
