@@ -224,7 +224,7 @@ object SparkEntry {
     "q28_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(
         t(s, dir, "embeddings"), t(s, dir, "embeddings").where(col("vec_id") < 3),
-        k = 5, nCentroids = 16, nProbe = 4)
+        k = 5, nCentroids = 16, nProbe = 4, trainModulo = 4)
         .select("query_id", "nbr_id", "rank")))
 
   // --- oracle SQL (DuckDB dialect of the same queries; aliases match) ---

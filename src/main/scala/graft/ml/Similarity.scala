@@ -102,9 +102,15 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      /** train the Lloyd refinement on every `trainModulo`-th vector
+        * (deterministic sample; 1 = full corpus). Standard k-means practice:
+        * centroid quality needs a sample, not the corpus — the FULL corpus
+        * is still assigned to the refined centroids below. */
+      trainModulo: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
+    val train = if (trainModulo <= 1) c else c.where(pmod(col("nbr_id"), lit(trainModulo)) === 0)
 
     def nearestCentroid(vecs: DataFrame, cents: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("nbr_id")).orderBy(col("csim").desc, col("cid"))
@@ -127,7 +133,7 @@ object Similarity {
     require(seedRows.nonEmpty, "ivfTopK: empty corpus")
     val dim = seedRows.head.getSeq[Double](1).size
     val seedCentroids = broadcastableCentroids(spark, seedRows.map(r => (r.getLong(0), r.getSeq[Double](1))))
-    val centroidRows = nearestCentroid(c, seedCentroids)
+    val centroidRows = nearestCentroid(train, seedCentroids)
       .groupBy(col("cid"))
       .agg(array((0 until dim).map(i =>
         avg(element_at(col("nbr_vec"), i + 1).cast("double"))): _*).as("cvec"))
