@@ -22,6 +22,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // realistic broadcast budget for the AQE-gated fetch join (see
+      // ScaleBench.makeSession for the rationale)
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -42,6 +42,12 @@ object ScaleBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The fetch join is AQE-size-gated (CrawlDriver): size the broadcast
+      // budget to executor memory like a real deployment would — the
+      // default 10 MB would demote a ~120k-row politeness batch to a
+      // sort-merge join and shuffle the 17 GB pages side every tick.
+      // Batches past this still degrade gracefully to SMJ.
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
       // cache/shuffle spill on tmpfs: the measured job is the engine, not
       // this sandbox's ext4 writeback variance
       .config("spark.local.dir", "/dev/shm/spark-local")
@@ -75,9 +81,12 @@ object ScaleBench {
       val pagesDf = spark.read.parquet(ensureCorpus(spark, nPages))
       val robots = spark.createDataset(Seq.empty[graft.model.RobotsEntry])(
         Encoders.product[graft.model.RobotsEntry])
-      val lake = CrawlLake.forCrawl(
-        Files.createTempDirectory(Paths.get("/dev/shm"), s"graft-sb-$cpus").toString, spark,
-        buckets = cpus)
+      val lake =
+        if (sys.env.contains("GRAFT_PLAIN_LAKE")) // A/B switch for bucketing-cost isolation
+          CrawlLake(Files.createTempDirectory(Paths.get("/dev/shm"), s"graft-sb-$cpus").toString, spark)
+        else CrawlLake.forCrawl(
+          Files.createTempDirectory(Paths.get("/dev/shm"), s"graft-sb-$cpus").toString, spark,
+          buckets = cpus)
       val driver = new CrawlDriver(spark, lake, pagesDf, robots,
         CrawlConfig(budget = budget, seenPartitions = 64, expectedPerSegment = 1 << 16,
           collectStats = false, enrich = true,
