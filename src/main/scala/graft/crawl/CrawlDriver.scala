@@ -52,7 +52,8 @@ final case class CrawlConfig(
       * the Iceberg-rewrite-style maintenance is an explicit choice, like
       * running expire-snapshots). */
     lakeCompactEvery: Int = 0,
-    /** storage level for the per-tick working sets (scheduled/hit/fresh).
+    /** storage level for the per-tick `processed` working set (the small
+      * scheduled/fresh sets use localCheckpoint — see runBatch).
       * MEMORY_AND_DISK for small batches; DISK_ONLY (with spark.local.dir
       * on fast storage) when a tick's fetched pages exceed executor
       * memory — at 100 TB scale the fetch join output never fits on-heap. */
@@ -159,7 +160,14 @@ final class CrawlDriver(
     val ts = tickTs(batchId)
 
     val allowed = RobotsFilter.filterAllowed(pending, robots)
-    val scheduled = Politeness.schedule(allowed, cfg.budget).persist(cfg.persistLevel)
+    // localCheckpoint (NOT persist): the scheduled batch is re-read by the
+    // commit writes, and with a bucketed lake the frontier/fetch_log INSERTs
+    // refreshTable their targets — which invalidates any cache whose plan
+    // still references those catalog tables and silently recomputes the
+    // whole politeness→fetch→extract chain mid-commit. Checkpointing
+    // truncates the lineage to a LogicalRDD, so the working set survives
+    // the refresh. The batch is politeness-capped (small) by construction.
+    val scheduled = Politeness.schedule(allowed, cfg.budget).localCheckpoint(false)
 
     // fetch = pages ⋈ scheduled (AQE size-gates the broadcast — see
     // CrawlConfig.fetchForceBroadcast), and BOTH extraction kernels run
@@ -236,11 +244,14 @@ final class CrawlDriver(
       .select(col("url_hash"), col("w.*"))
       .as[FrontierEntry]
 
-    // cross-batch dedup: bloom/cuckoo pre-screen, exact confirm
+    // cross-batch dedup: bloom/cuckoo pre-screen, exact confirm.
+    // localCheckpoint for the same reason as `scheduled`: fresh's plan
+    // contains the frontier scan (exact confirm), which the frontier INSERT
+    // would invalidate mid-commit.
     val fresh = SeenSet
       .filterNewFiltered(batchDedup, seenSegments, frontier.select("url_hash"), cfg.seenPartitions)
       .toDF()
-      .persist(cfg.persistLevel)
+      .localCheckpoint(false)
 
     val tTrace = System.nanoTime()
     // materialize the shared working set ONCE before the commit: the four
@@ -281,9 +292,10 @@ final class CrawlDriver(
 
     if (sys.env.contains("GRAFT_TRACE"))
       println(f"[trace] tick $batchId total: ${(System.nanoTime() - tTrace) / 1e9}%.2fs")
-    scheduled.unpersist()
+    // scheduled/fresh are localCheckpoints — their RDD blocks are reclaimed
+    // by the ContextCleaner once unreferenced; only processed holds a
+    // CacheManager entry to release
     processed.unpersist()
-    fresh.unpersist()
 
     if (cfg.lakeCompactEvery > 0 && batchId % cfg.lakeCompactEvery.toLong == 0L) {
       lake.bucketed.keys.toSeq.sorted.foreach(lake.compactBucketed)
