@@ -117,8 +117,16 @@ final class CrawlDriver(
     * never enters the data (SURVEY.md §7.3(d) resume-exactness). */
   def tickTs(b: Long): Timestamp = graft.sim.ReferenceSimulator.tickTs(b)
 
+  /** The pages side of the fetch join. When the corpus table already
+    * carries a url_hash column (the recommended 100 TB layout: pages stored
+    * bucketed by url_hash, see BucketedFrontier), it is used as-is — a
+    * bucketed scan then joins the scheduled batch with NO exchange on the
+    * corpus side even when the batch is too large to broadcast
+    * (plan-asserted in CrawlDriverSpec). Otherwise the hash is computed
+    * scan-side from the url. */
   private def pagesKeyed: DataFrame =
-    pages.select(url_hash64(col("url")).as("url_hash"), col("html"))
+    if (pages.columns.contains("url_hash")) pages.select(col("url_hash"), col("html"))
+    else pages.select(url_hash64(col("url")).as("url_hash"), col("html"))
 
   def frontier: DataFrame = lake.read("frontier", frontierSchema)
   def fetchLog: DataFrame = lake.read("fetch_log", fetchSchema)

@@ -200,6 +200,39 @@ class CrawlDriverSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("bucketed pages corpus: fetch join plans with no exchange on the pages side") {
+    // the 100 TB fetch layout: pages stored bucketed by url_hash; when the
+    // scheduled batch is too big to broadcast, the SMJ must leave the corpus
+    // side unshuffled (only the small batch exchanges to match)
+    val pagesWithHash = spark.createDataFrame(corpus.map(_.page))
+      .withColumn("url_hash", graft.functions.GraftFunctions.url_hash64($"url"))
+    graft.lake.BucketedFrontier.writeBucketed(pagesWithHash, "graft_pages_spec", buckets = 8)
+    val bucketedPages = spark.table("graft_pages_spec")
+
+    val cfg = CrawlConfig(budget = 2, seenPartitions = 8, expectedPerSegment = 4096)
+    val lake = CrawlLake.forCrawl(
+      Files.createTempDirectory("graft-lake-bp").toString, spark, buckets = 8)
+    val driver = new CrawlDriver(
+      spark, lake, bucketedPages, spark.createDataset(robotsEntries), cfg)
+    driver.init(PageSynth.seeds(N, 3))
+    driver.run(3)
+    // identical crawl to the plain-DataFrame corpus (oracle)
+    val sim = simResult(budget = 2, ticks = 3)
+    assert(engineOrder(driver) == sim.crawlOrder.map(r => (r.batchId, r.urlHash, r.status)))
+
+    // plan shape: SMJ whose pages side has no exchange above the scan
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = bucketedPages.select($"url_hash", $"html")
+        .join(driver.frontier.select("url_hash"), Seq("url_hash"), "inner")
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // exactly zero exchanges: both sides are 8-bucket tables
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("seen deltas are exact lists (bytes ∝ admitted); compaction keeps the oracle exact") {
     val cfg = CrawlConfig(
       budget = 2, seenPartitions = 8, expectedPerSegment = 4096, seenCompactEvery = 3)
