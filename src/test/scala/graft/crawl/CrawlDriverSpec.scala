@@ -282,6 +282,33 @@ class CrawlDriverSpec extends AnyFunSuite {
     assert(engineOrder(resumed) == simFull.crawlOrder.map(r => (r.batchId, r.urlHash, r.status)))
   }
 
+  test("long run: 20+ ticks with compaction keeps files bounded and the oracle exact") {
+    // budget 1 stretches the 150-page corpus across ~20 ticks; compaction
+    // every 5 ticks + seen folding every 4 must keep partition/dir/segment
+    // counts BOUNDED (constant + since-last-compaction), not tick-linear
+    val cfg = CrawlConfig(
+      budget = 1, seenPartitions = 8, expectedPerSegment = 4096,
+      seenCompactEvery = 4, lakeCompactEvery = 5)
+    val (driver, lake) = newDriver(cfg)
+    driver.init(PageSynth.seeds(N, 3))
+    val stats = driver.run(25)
+    assert(stats.size >= 20, s"expected a 20+-tick crawl, got ${stats.size}")
+
+    val sim = simResult(budget = 1, ticks = stats.size)
+    assert(engineOrder(driver) == sim.crawlOrder.map(r => (r.batchId, r.urlHash, r.status)))
+
+    // bucketed tables: 1 compacted partition + at most lakeCompactEvery tick
+    // partitions since the last fold
+    assert(lake.partitionIds("frontier").size <= 1 + cfg.lakeCompactEvery,
+      lake.partitionIds("frontier"))
+    assert(lake.partitionIds("fetch_log").size <= 1 + cfg.lakeCompactEvery,
+      lake.partitionIds("fetch_log"))
+    // dir tables: extracted consolidated + ticks since; seen = filters + deltas since
+    val m = lake.manifest(lake.latestSnapshotId.get)
+    assert(m("extracted").size <= 1 + cfg.lakeCompactEvery, m("extracted"))
+    assert(m("seen").size <= 1 + cfg.seenCompactEvery, m("seen"))
+  }
+
   test("tick stats are coherent and lineage covers every schedule") {
     val cfg = CrawlConfig(budget = 2, seenPartitions = 8, expectedPerSegment = 4096)
     val (driver, _) = newDriver(cfg)
