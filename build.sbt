@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes through unprefixed (no sbt `[info]` wrapper):
+// the driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// bare JSON, and the default LoggedOutput strategy was prefixing it.
+run / outputStrategy := Some(StdoutOutput)
+// ... and suppress the trailing "[success] Total time" logger line so the
+// JSON really is the last thing on stdout.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
