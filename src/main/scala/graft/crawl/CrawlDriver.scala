@@ -287,7 +287,8 @@ final class CrawlDriver(
     val (seenAppend, seenReplace) =
       if (compactTick)
         (Map.empty[String, DataFrame],
-          Map("seen" -> SeenSet.mergeSegments(seenSegments, deltaSegments).toDF()))
+          Map("seen" -> SeenSet.mergeSegments(
+            seenSegments, deltaSegments, cfg.seenKind, cfg.expectedPerSegment).toDF()))
       else (Map("seen" -> deltaSegments.toDF()), Map.empty[String, DataFrame])
 
     lake.commit(

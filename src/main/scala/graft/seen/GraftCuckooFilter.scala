@@ -173,7 +173,13 @@ final class GraftCuckooFilter private (
 object GraftCuckooFilter {
   final val SlotsPerBucket = 4
   final val MaxKicks = 500
-  private[seen] final val Magic = 0x47434b46 // "GCKF"
+  /** "GCK2": v2 — bumped when bucket1 switched from raw low bits to an
+    * independent key hash (round-2). A v1 blob ("GCKF") probed with v2
+    * derivations would return silent false negatives (duplicate URL
+    * admissions); the bump makes old-layout segments fail LOUDLY at
+    * deserialize/dispatch time instead (round-2 advisor). */
+  private[seen] final val Magic = 0x47434b32 // "GCK2"
+  private[seen] final val MagicV1 = 0x47434b46 // "GCKF" (retired layout)
   private[seen] final val FpSeed = 0x9e3779b9L
   private[seen] final val AltSeed = 0x85ebca6bL
   private[seen] final val KickSeed = 0xc2b2ae35L
@@ -192,9 +198,22 @@ object GraftCuckooFilter {
     create(lg)
   }
 
+  /** log2Buckets sizing n keys at ~95% load — the single geometry formula
+    * shared by the build aggregate and segment compaction (a cuckoo merge
+    * requires identical geometry, so everyone must size the same way). */
+  def log2BucketsForExpected(n: Long): Int = {
+    val buckets = math.max(2L, (n / (SlotsPerBucket * 0.95)).toLong + 1)
+    var lg = 1
+    while ((1L << lg) < buckets) lg += 1
+    lg
+  }
+
   def deserialize(bytes: Array[Byte]): GraftCuckooFilter = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val magic = bb.getInt
+    require(magic != MagicV1,
+      "cuckoo segment uses the retired v1 bucket layout (GCKF); it cannot be " +
+        "probed correctly by this version — rebuild the seen set from the frontier")
     require(magic == Magic, f"not a graft cuckoo segment (magic 0x$magic%08x)")
     val lg = bb.getInt
     val items = bb.getLong

@@ -104,11 +104,8 @@ object SeenSet {
     val buildCol = kind match {
       case "bloom" => SeenSegments.bloom_build(col("url_hash"), bits, k)
       case "cuckoo" =>
-        val lg = {
-          val buckets = math.max(2L, (expectedPerSegment / (GraftCuckooFilter.SlotsPerBucket * 0.95)).toLong + 1)
-          var l = 1; while ((1L << l) < buckets) l += 1; l
-        }
-        SeenSegments.cuckoo_build(col("url_hash"), lg)
+        SeenSegments.cuckoo_build(
+          col("url_hash"), GraftCuckooFilter.log2BucketsForExpected(expectedPerSegment))
       case other => throw new IllegalArgumentException(s"unknown seen-set kind: $other")
     }
     newHashes
@@ -137,20 +134,26 @@ object SeenSet {
   }
 
   /** Fold delta segments into the previous snapshot's segments: a P-row
-    * cogroup, each merge a bitwise OR (Bloom) / fingerprint re-insert
-    * (cuckoo). History is never rehashed. */
-  def mergeSegments(existing: Dataset[Segment], delta: Dataset[Segment]): Dataset[Segment] = {
+    * cogroup, each partition's stack compacted via
+    * [[SeenSegments.compactStack]] — filter⊕filter is the native merge,
+    * delta lists re-insert raw keys, pure-list partitions converge to a
+    * bounded filter once they outgrow the configured filter size, and
+    * cuckoo saturation spills to a standalone exact-list segment instead of
+    * failing the tick (round-2 advisor items 1+2). History is never
+    * rehashed; a partition may legitimately hold >1 segment (probes OR). */
+  def mergeSegments(
+      existing: Dataset[Segment],
+      delta: Dataset[Segment],
+      kind: String = "bloom",
+      expectedPerSegment: Long = 1L << 16,
+      fpp: Double = 1e-3): Dataset[Segment] = {
     val spark = existing.sparkSession
     import spark.implicits._
     existing.groupByKey(_.partition_id).cogroup(delta.groupByKey(_.partition_id)) {
       (pid, oldSegs, newSegs) =>
-        val all = (oldSegs ++ newSegs).toList
-        all match {
-          case Nil => Iterator.empty
-          case head :: tail =>
-            val mergedBytes = tail.foldLeft(head.segment)((acc, s) => SeenSegments.merge(acc, s.segment))
-            Iterator.single(Segment(pid, mergedBytes, all.map(_.n_items).sum))
-        }
+        val all = (oldSegs ++ newSegs).map(s => (s.segment, s.n_items)).toSeq
+        SeenSegments.compactStack(all, kind, expectedPerSegment, fpp)
+          .iterator.map { case (bytes, n) => Segment(pid, bytes, n) }
     }
   }
 }

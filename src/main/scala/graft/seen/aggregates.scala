@@ -184,6 +184,150 @@ object SeenSegments {
     }
   }
 
+  /** Fold one partition's whole segment stack (filters ⊕ exact delta lists,
+    * any order, any count) into a BOUNDED set of segments — the compaction
+    * primitive behind [[SeenSet.mergeSegments]] (round-2 advisor items 1+2):
+    *
+    *  - delta-list keys fold into the partition's filter when one exists
+    *    (raw keys re-insert; no geometry coupling);
+    *  - a partition with NO filter converges: while its merged exact list is
+    *    smaller than the configured filter it stays an exact list (smaller
+    *    AND zero-FPR — strictly better), but once it outgrows the filter
+    *    size a fresh Bloom/cuckoo filter is built from the keys (all
+    *    recoverable from the list), so no partition grows without bound at
+    *    8 B/key with a full rewrite per compaction;
+    *  - cuckoo saturation is never a hard-stop: keys that cannot be placed
+    *    are emitted as a standalone exact-list segment NEXT TO the filter —
+    *    the probe already ORs every segment of a partition — and filter
+    *    pairs that cannot merge (saturation, geometry drift after a config
+    *    change) stay side by side the same way.
+    *
+    * Returns (serialized segment, n_items) pairs; order deterministic. */
+  def compactStack(
+      segs: Seq[(Array[Byte], Long)],
+      kind: String,
+      expectedPerSegment: Long,
+      fpp: Double = 1e-3): Seq[(Array[Byte], Long)] = {
+    val (listSegs, filterSegs) = segs.partition(s => magicOf(s._1) == GraftLongList.Magic)
+    // distinct delta keys across every list segment (serialize sorts+dedups)
+    val keys: Array[Long] =
+      if (listSegs.isEmpty) Array.emptyLongArray
+      else GraftLongList.deserialize(GraftLongList.serialize(
+        listSegs.iterator.flatMap(s => GraftLongList.deserialize(s._1)).toArray))
+
+    // 1. fold filters pairwise where kind+geometry allow; unmergeable pairs
+    //    (cuckoo saturation / geometry drift) are kept side by side
+    val filters = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Long)]
+    filterSegs.foreach { case (bytes, n) =>
+      var i = 0
+      var placed = false
+      while (!placed && i < filters.length) {
+        tryMergeFilters(filters(i)._1, bytes) match {
+          case Some(m) => filters(i) = (m, filters(i)._2 + n); placed = true
+          case None => i += 1
+        }
+      }
+      if (!placed) filters += ((bytes, n))
+    }
+
+    if (filters.isEmpty) {
+      if (keys.isEmpty) Seq.empty
+      else {
+        val listBytes = 8L + 8L * keys.length
+        if (listBytes <= filterBytesFor(kind, expectedPerSegment, fpp))
+          Seq((GraftLongList.serialize(keys), keys.length.toLong))
+        else buildFilterFromKeys(keys, kind, expectedPerSegment, fpp)
+      }
+    } else if (keys.isEmpty) filters.toSeq
+    else {
+      // 2. fold the delta keys into the first (largest-capacity-first is not
+      //    needed: all same configured geometry) filter; cuckoo overflow
+      //    becomes a standalone exact-list segment
+      val (folded, overflow) = insertKeysInto(filters.head._1, keys)
+      val out = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)](
+        (folded, filters.head._2 + (keys.length - overflow.length)))
+      out ++= filters.drop(1)
+      if (overflow.nonEmpty) out += ((GraftLongList.serialize(overflow), overflow.length.toLong))
+      out.toSeq
+    }
+  }
+
+  /** Merge two serialized FILTER segments when kind+geometry allow; None
+    * when they must stay separate (mixed kinds, geometry drift, or a cuckoo
+    * merge that would drop fingerprints — mergeInPlace is atomic on
+    * failure, so `a` is untouched when this returns None). */
+  private def tryMergeFilters(a: Array[Byte], b: Array[Byte]): Option[Array[Byte]] =
+    (magicOf(a), magicOf(b)) match {
+      case (GraftBloomFilter.Magic, GraftBloomFilter.Magic) =>
+        val fa = GraftBloomFilter.deserialize(a)
+        val fb = GraftBloomFilter.deserialize(b)
+        if (fa.numBits == fb.numBits && fa.numHashes == fb.numHashes)
+          Some(fa.mergeInPlace(fb).serialized)
+        else None
+      case (GraftCuckooFilter.Magic, GraftCuckooFilter.Magic) =>
+        val fa = GraftCuckooFilter.deserialize(a)
+        val fb = GraftCuckooFilter.deserialize(b)
+        if (fa.log2Buckets == fb.log2Buckets && fa.mergeInPlace(fb) == 0L) Some(fa.serialized)
+        else None
+      case _ => None
+    }
+
+  /** Re-insert raw keys into a serialized filter; returns the new blob plus
+    * the keys that could not be placed (always empty for Bloom). */
+  private def insertKeysInto(filterBytes: Array[Byte], keys: Array[Long]): (Array[Byte], Array[Long]) =
+    magicOf(filterBytes) match {
+      case GraftBloomFilter.Magic =>
+        val f = GraftBloomFilter.deserialize(filterBytes)
+        keys.foreach(f.insert)
+        (f.serialized, Array.emptyLongArray)
+      case GraftCuckooFilter.Magic =>
+        val f = GraftCuckooFilter.deserialize(filterBytes)
+        val overflow = scala.collection.mutable.ArrayBuffer.empty[Long]
+        keys.foreach(k => if (!f.insert(k)) overflow += k)
+        (f.serialized, overflow.toArray)
+      case m => throw new IllegalArgumentException(f"not a filter segment (magic 0x$m%08x)")
+    }
+
+  /** Fresh filter from raw keys, sized max(expectedPerSegment, keys) so the
+    * conversion itself can never saturate a cuckoo mid-build; any residual
+    * cuckoo overflow (pathological kick chains) still spills to a list. */
+  private def buildFilterFromKeys(
+      keys: Array[Long],
+      kind: String,
+      expectedPerSegment: Long,
+      fpp: Double): Seq[(Array[Byte], Long)] = {
+    val n = math.max(expectedPerSegment, keys.length.toLong)
+    kind match {
+      case "bloom" =>
+        val bits = GraftBloomFilter.optimalNumBits(n, fpp)
+        val f = GraftBloomFilter.create(bits, GraftBloomFilter.optimalNumHashes(n, bits))
+        keys.foreach(f.insert)
+        Seq((f.serialized, keys.length.toLong))
+      case "cuckoo" =>
+        val f = GraftCuckooFilter.create(GraftCuckooFilter.log2BucketsForExpected(n))
+        val overflow = scala.collection.mutable.ArrayBuffer.empty[Long]
+        keys.foreach(k => if (!f.insert(k)) overflow += k)
+        val out = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)](
+          (f.serialized, (keys.length - overflow.length).toLong))
+        if (overflow.nonEmpty) out += ((GraftLongList.serialize(overflow.toArray), overflow.length.toLong))
+        out.toSeq
+      case other => throw new IllegalArgumentException(s"unknown seen-set kind: $other")
+    }
+  }
+
+  /** Serialized size of a fresh filter of the configured kind/geometry —
+    * the list→filter conversion threshold in [[compactStack]]. */
+  private[seen] def filterBytesFor(kind: String, expectedPerSegment: Long, fpp: Double): Long =
+    kind match {
+      case "bloom" =>
+        val bits = GraftBloomFilter.optimalNumBits(expectedPerSegment, fpp)
+        4L + 4L + 8L + 8L + ((bits + 63L) >>> 6) * 8L
+      case "cuckoo" =>
+        val lg = GraftCuckooFilter.log2BucketsForExpected(expectedPerSegment)
+        4L + 4L + 8L + (1L << lg) * GraftCuckooFilter.SlotsPerBucket * 2L
+      case other => throw new IllegalArgumentException(s"unknown seen-set kind: $other")
+    }
+
   // Column API
   def bloom_build(urlHash: Column, numBits: Long, numHashes: Int): Column =
     ExpressionUtils.column(

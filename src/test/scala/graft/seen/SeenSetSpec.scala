@@ -235,6 +235,83 @@ class SeenSetSpec extends AnyFunSuite {
     assert(cogroups == 1, s"probe subtree duplicated: $cogroups CoGroup nodes in plan\n$plan")
   }
 
+  private def magic(b: Array[Byte]): Int = java.nio.ByteBuffer.wrap(b, 0, 4).getInt
+
+  test("compactStack: small pure-list partitions stay exact lists") {
+    val out = SeenSegments.compactStack(
+      Seq((GraftLongList.serialize(Array(1L, 2L, 3L)), 3L),
+        (GraftLongList.serialize(Array(9L)), 1L)),
+      "bloom", expectedPerSegment = 1024)
+    assert(out.size == 1 && magic(out.head._1) == GraftLongList.Magic)
+    val p = SeenSegments.probeFn(out.head._1)
+    assert(p(1L) && p(2L) && p(3L) && p(9L) && !p(4L))
+  }
+
+  test("compactStack: pure-list partitions converge to a bounded filter once large") {
+    // round-2 advisor item 1: partitions never seeded with a filter used to
+    // accumulate raw 8 B/key lists forever
+    val keys = (0L until 4000L).map(i => XxHash64.hashLong(i, 77L)).toArray
+    for (kind <- Seq("bloom", "cuckoo")) {
+      val out = SeenSegments.compactStack(
+        Seq((GraftLongList.serialize(keys), keys.length.toLong)), kind, expectedPerSegment = 1024)
+      val expectedMagic = if (kind == "bloom") GraftBloomFilter.Magic else GraftCuckooFilter.Magic
+      assert(magic(out.head._1) == expectedMagic, s"$kind did not convert")
+      // strictly smaller than the list it replaced, and every key still hits
+      assert(out.map(_._1.length.toLong).sum < 8L + 8L * keys.length)
+      val probes = out.map(s => SeenSegments.probeFn(s._1))
+      keys.foreach(k => assert(probes.exists(_(k)), s"$kind lost $k in conversion"))
+    }
+  }
+
+  test("compactStack: cuckoo saturation spills to a list segment, never throws") {
+    // round-2 advisor item 2: a saturated cuckoo partition must not hard-stop
+    // the crawl at every subsequent compact tick
+    val tiny = GraftCuckooFilter.create(2) // 16 slots
+    (0L until 14L).foreach(i => tiny.insert(XxHash64.hashLong(i, 5L)))
+    val delta = (100L until 200L).map(i => XxHash64.hashLong(i, 5L)).toArray
+    val out = SeenSegments.compactStack(
+      Seq((tiny.serialized, 14L), (GraftLongList.serialize(delta), delta.length.toLong)),
+      "cuckoo", expectedPerSegment = 16)
+    assert(out.size >= 2, s"expected filter + overflow list, got ${out.size}")
+    assert(out.exists(s => magic(s._1) == GraftCuckooFilter.Magic))
+    assert(out.exists(s => magic(s._1) == GraftLongList.Magic))
+    val probes = out.map(s => SeenSegments.probeFn(s._1))
+    ((0L until 14L) ++ (100L until 200L)).map(XxHash64.hashLong(_, 5L))
+      .foreach(k => assert(probes.exists(_(k)), s"lost $k across spill"))
+  }
+
+  test("compactStack: unmergeable filter geometries stay side by side") {
+    val a = GraftBloomFilter.forExpected(1000, 1e-3); a.insert(1L)
+    val b = GraftBloomFilter.forExpected(5000, 1e-3); b.insert(2L)
+    val out = SeenSegments.compactStack(
+      Seq((a.serialized, 1L), (b.serialized, 1L)), "bloom", 1024)
+    assert(out.size == 2)
+    val probes = out.map(s => SeenSegments.probeFn(s._1))
+    assert(probes.exists(_(1L)) && probes.exists(_(2L)))
+  }
+
+  test("mergeSegments with cuckoo kind folds oversized deltas without failing the tick") {
+    val p = 2
+    val existing = SeenSet.buildDeltaSegments(
+      seenHashes.take(64).toDF("url_hash"), p, expectedPerSegment = 32, kind = "cuckoo")
+    val delta = SeenSet.buildDeltaList(seenHashes.slice(64, 1064).toDF("url_hash"), p)
+    val merged = SeenSet.mergeSegments(existing, delta, "cuckoo", expectedPerSegment = 32).collect()
+    val byPid = merged.groupBy(_.partition_id)
+    seenHashes.take(1064).foreach { h =>
+      val pid = math.floorMod(h, p.toLong).toInt
+      assert(byPid(pid).exists(s => SeenSegments.probeFn(s.segment)(h)), s"lost $h")
+    }
+  }
+
+  test("retired v1 cuckoo layout is rejected loudly") {
+    val blob = GraftCuckooFilter.forExpected(100).serialized
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    bb.putInt(0, GraftCuckooFilter.MagicV1)
+    val e1 = intercept[IllegalArgumentException](GraftCuckooFilter.deserialize(blob))
+    assert(e1.getMessage.contains("retired"))
+    intercept[IllegalArgumentException](SeenSegments.probeFn(blob))
+  }
+
   test("property: random hash sets never produce false negatives (scalacheck gen)") {
     val gen = Gen.listOfN(500, Gen.long)
     val hs = gen.apply(Gen.Parameters.default, Seed(7L)).get.distinct
