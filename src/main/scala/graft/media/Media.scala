@@ -15,13 +15,15 @@ import graft.util.XxHash64
   * shape), never collected, schema declared up front.
   *
   * ==STUB NOTICE==
-  * No image/audio codecs ship in this container, so the *decode internals*
-  * are deterministic fakes, clearly marked `Stub` below: format sniffing is
-  * real (public magic numbers); widths/heights/frame-counts/features are
-  * pure functions of the bytes via xxhash. The Spark-side plumbing — column
-  * types, batch iteration, partitioning, output schemas — is real and
-  * tested; swapping a real codec into [[decodeStub]]/[[featureStub]] changes
-  * nothing else.
+  * No image/audio codecs ship in this container. Format sniffing and
+  * container-HEADER metadata are REAL (public specs: PNG IHDR, GIF block
+  * walk, JPEG SOFn scan, WAV fmt chunk, MP4/ISO-BMFF box walk). Pixel/PCM
+  * *decode internals* — feature extraction, resize, and the fallback for
+  * unparseable headers — are deterministic fakes, clearly marked `Stub`
+  * below (pure functions of the bytes via xxhash). The Spark-side plumbing
+  * — column types, batch iteration, partitioning, output schemas — is real
+  * and tested; swapping a real codec into [[decodeStub]]/[[featureStub]]
+  * changes nothing else.
   */
 object Media {
 
@@ -64,10 +66,12 @@ object Media {
     *    frame count by walking image-descriptor (0x2C) / extension (0x21)
     *    blocks;
     *  - JPEG: SOFn segment scan (height/width big-endian u16 at +5/+7 of
-    *    the first SOF0..SOF15 marker, skipping DHT/DAC/RST);
-    *  - WAV: fmt-chunk sample rate (little-endian u32 at 24).
-    * Returns None when the format has no JVM-parseable header here (mp4)
-    * or the bytes are truncated — the caller falls back to the stub. */
+    *    the first SOF0..SOF15 marker, skipping DHT/DAC/RST, stopping at SOS);
+    *  - WAV: fmt-chunk sample rate (little-endian u32 at 24);
+    *  - MP4: ISO-BMFF box walk ([[parseMp4]]) — tkhd width/height, stsz
+    *    frame count, audio-track mdhd timescale as sample rate.
+    * Returns None when the bytes are truncated/malformed — the caller
+    * falls back to the stub. */
   def parseHeader(bytes: Array[Byte], format: String): Option[(Int, Int, Int, Int)] =
     try {
       format match {
@@ -99,24 +103,100 @@ object Media {
           }
           Some((w, h, math.max(frames, 1), 0))
         case "jpeg" =>
+          // Marker scan hardening (round-2 advisor): stop at SOS (0xDA —
+          // entropy-coded data follows, where 0xFF 0xCn sequences are data,
+          // not markers), resync over 0xFF fill bytes, and treat TEM (0x01)
+          // and RSTn/SOI/EOI as standalone (no length word).
           var i = 2
           var out: Option[(Int, Int, Int, Int)] = None
-          while (out.isEmpty && i + 9 < bytes.length && u8(bytes(i)) == 0xff) {
+          var stop = false
+          while (!stop && out.isEmpty && i + 1 < bytes.length && u8(bytes(i)) == 0xff) {
             val marker = u8(bytes(i + 1))
-            if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
-              out = Some((be16(bytes, i + 7), be16(bytes, i + 5), 1, 0))
-            else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
-            else i += 2 + be16(bytes, i + 2)
+            if (marker == 0xff) i += 1 // fill byte: resync on the next 0xff
+            else if (marker == 0xda) stop = true // SOS: never scan past it
+            else if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+              if (i + 9 < bytes.length) out = Some((be16(bytes, i + 7), be16(bytes, i + 5), 1, 0))
+              else stop = true // truncated SOF
+            } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+            else if (i + 3 < bytes.length) i += 2 + be16(bytes, i + 2)
+            else stop = true
           }
           out
         case "wav" if bytes.length >= 28 =>
           Some((0, 0, 1, le32(bytes, 24)))
+        case "mp4" => parseMp4(bytes)
         case _ => None
       }
     } catch { case _: IndexOutOfBoundsException => None }
 
-  /** Decode: real format sniff + REAL header metadata for png/gif/jpeg/wav;
-    * only formats without a JVM-parseable header here (mp4) fall back to the
+  /** ISO-BMFF (MPEG-4 Part 12, public spec) box walk — pure JVM, no codec:
+    * top-level boxes are (u32 size)(4cc type) with size==1 ⇒ 64-bit
+    * largesize and size==0 ⇒ to-end-of-enclosing-box; `moov`→`trak`
+    * subtrees give per-track `tkhd` width/height (16.16 fixed-point at the
+    * end of the box), `hdlr` handler type ('vide'/'soun'), `mdhd` timescale
+    * (an audio track's timescale is its sample rate by convention), and
+    * `stbl`→`stsz` sample_count — the video track's REAL frame count.
+    * Returns None when no moov box parses (caller falls back to the stub). */
+  private def parseMp4(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    final class Track {
+      var handler: String = ""
+      var w: Int = 0; var h: Int = 0
+      var timescale: Int = 0; var samples: Int = 0
+    }
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[Track]
+    var sawMoov = false
+
+    def fourcc(i: Int): String = new String(bytes, i, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def be64(i: Int): Long = (be32(bytes, i).toLong << 32) | (be32(bytes, i + 4).toLong & 0xffffffffL)
+
+    def walk(start: Long, end: Long, cur: Track): Unit = {
+      var i = start
+      while (i + 8 <= end) {
+        var size: Long = be32(bytes, i.toInt).toLong & 0xffffffffL
+        val typ = fourcc(i.toInt + 4)
+        var header = 8L
+        if (size == 1 && i + 16 <= end) { size = be64(i.toInt + 8); header = 16 }
+        else if (size == 0) size = end - i
+        if (size < header || i + size > end) return // malformed: stop, keep what we have
+        val payload = (i + header).toInt
+        typ match {
+          case "moov" => sawMoov = true; walk(i + header, i + size, cur)
+          case "trak" =>
+            val t = new Track; tracks += t; walk(i + header, i + size, t)
+          case "mdia" | "minf" | "stbl" => walk(i + header, i + size, cur)
+          case "tkhd" if cur != null =>
+            val off = payload + 4 + (if (u8(bytes(payload)) == 1) 84 else 72)
+            if (off + 8 <= i + size) {
+              cur.w = be32(bytes, off) >>> 16 // 16.16 fixed-point
+              cur.h = be32(bytes, off + 4) >>> 16
+            }
+          case "mdhd" if cur != null =>
+            val off = payload + 4 + (if (u8(bytes(payload)) == 1) 16 else 8)
+            if (off + 4 <= i + size) cur.timescale = be32(bytes, off)
+          case "hdlr" if cur != null =>
+            if (payload + 12 <= i + size) cur.handler = fourcc(payload + 8)
+          case "stsz" if cur != null =>
+            if (payload + 12 <= i + size) cur.samples = be32(bytes, payload + 8)
+          case _ => () // ftyp, mdat, free, unknown: skip
+        }
+        i += size
+      }
+    }
+    walk(0L, bytes.length.toLong, null)
+    if (!sawMoov) None
+    else {
+      val video = tracks.find(_.handler == "vide").orElse(tracks.find(t => t.w > 0 && t.h > 0))
+      val audio = tracks.find(_.handler == "soun")
+      Some((
+        video.map(_.w).getOrElse(0),
+        video.map(_.h).getOrElse(0),
+        math.max(video.map(_.samples).getOrElse(0), 1),
+        audio.map(_.timescale).getOrElse(0)))
+    }
+  }
+
+  /** Decode: real format sniff + REAL header metadata for png/gif/jpeg/wav/
+    * mp4; only bytes whose headers don't parse fall back to the
     * clearly-marked deterministic fake. Replace the fallback with a real
     * codec call when one is available. */
   def decodeStub(bytes: Array[Byte]): MediaMeta = {

@@ -72,6 +72,55 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.decodeStub(goldenPng.take(14)).format == "png")
   }
 
+  test("JPEG marker scan: SOS stops the scan, fill bytes resync, TEM is standalone") {
+    def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte, 0, 11, 8) ++
+      be16(600) ++ be16(800) ++ Array[Byte](1, 1, 0x11, 0)
+    // fill bytes + TEM (0x01, no length word) before the SOF must be skipped
+    val padded = Array[Byte](0xff.toByte, 0xd8.toByte,
+      0xff.toByte, 0xff.toByte, // fill byte run
+      0xff.toByte, 0x01.toByte) ++ sof0 // TEM standalone
+    val m = Media.decodeStub(padded ++ Array.fill[Byte](8)(0))
+    assert(m.width == 800 && m.height == 600, m)
+    // entropy-coded data after SOS containing FF Cn must NOT be parsed as a
+    // SOF: scan stops at SOS and the bytes fall back to the stub dimensions
+    val sos = Array[Byte](0xff.toByte, 0xda.toByte, 0, 4, 1, 0)
+    val fakeSofInData = Array[Byte](0xff.toByte, 0xc1.toByte, 0x7f, 0x7f, 0x7f, 0x7f, 0x7f, 0x7f, 0x7f, 0x7f)
+    val noSof = Array[Byte](0xff.toByte, 0xd8.toByte) ++ sos ++ fakeSofInData
+    val stubbed = Media.decodeStub(noSof)
+    // header parse returned None -> deterministic stub path (width >= 64 base)
+    assert(stubbed.format == "jpeg" && (stubbed.width != 0x7f7f || stubbed.height != 0x7f7f))
+  }
+
+  test("golden mp4: ISO-BMFF box walk parses tkhd/stsz/mdhd for real") {
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8) ++ typ.getBytes("ASCII") ++ payload
+    def tkhd(w: Int, h: Int) = box("tkhd",
+      be32(0) ++ Array.fill[Byte](72)(0) ++ be32(w << 16) ++ be32(h << 16))
+    def mdhd(timescale: Int) = box("mdhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(0) ++ be32(0))
+    def hdlr(kind: String) = box("hdlr", be32(0) ++ be32(0) ++ kind.getBytes("ASCII"))
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(300))
+    val videoTrak = box("trak", tkhd(1280, 720) ++
+      box("mdia", mdhd(90000) ++ hdlr("vide") ++ box("minf", box("stbl", stsz))))
+    val audioTrak = box("trak", tkhd(0, 0) ++ box("mdia", mdhd(48000) ++ hdlr("soun")))
+    val golden = box("ftyp", "isomiso2".getBytes("ASCII")) ++ box("moov", videoTrak ++ audioTrak)
+    assert(Media.sniffFormat(golden) == "mp4")
+    assert(Media.decodeStub(golden) ==
+      Media.MediaMeta("mp4", 1280, 720, 300, 48000, golden.length.toLong))
+    // 64-bit largesize variant of the moov box parses identically
+    val moov = box("moov", videoTrak ++ audioTrak)
+    val largeMoov = be32(1) ++ "moov".getBytes("ASCII") ++
+      be32(0) ++ be32(moov.length + 8) ++ moov.drop(8)
+    val golden64 = box("ftyp", "isomiso2".getBytes("ASCII")) ++ largeMoov
+    assert(Media.decodeStub(golden64).width == 1280)
+    assert(Media.decodeStub(golden64).n_frames == 300)
+    // truncated box walk never throws — ftyp-only falls back to the stub
+    val noMoov = box("ftyp", "isomiso2".getBytes("ASCII")) ++ Array.fill[Byte](64)(9)
+    assert(Media.decodeStub(noMoov).format == "mp4")
+  }
+
   test("decodeMeta: batched partition map emits typed meta struct") {
     val out = Media.decodeMeta(mediaDf, batchSize = 2)
     assert(out.schema.fieldNames.toSeq ==
