@@ -73,6 +73,37 @@ class CrawlLakeSpec extends AnyFunSuite {
     intercept[Exception](lake.read("t", schema, Some(0L)))
   }
 
+  test("bucketed time-travel past a compaction fails loudly, not partially") {
+    val root = Files.createTempDirectory("lake-spec6").toString
+    val lake = new CrawlLake(root, spark, Map(
+      "t" -> CrawlLake.BucketedTableSpec(schema, "url_hash", 4)))
+    lake.commit(0L, appends = Map("t" -> df(1L -> "a")))
+    lake.commit(1L, appends = Map("t" -> df(2L -> "b")))
+    lake.compactBucketed("t")
+    // latest still reads everything
+    assert(lake.read("t", schema).count() == 2)
+    // pre-compaction snapshots' tick partitions were reclaimed: raise, don't
+    // silently return partial/empty data (round-2 advisor)
+    val e = intercept[IllegalStateException](lake.read("t", schema, Some(1L)).count())
+    assert(e.getMessage.contains("expired by compaction"))
+    // a second compaction expires the FIRST compaction's snapshot too
+    lake.commit(2L, appends = Map("t" -> df(3L -> "c")))
+    val firstCompactSnap = 2L // snapshot published by compactBucketed above
+    lake.compactBucketed("t")
+    assert(lake.read("t", schema).count() == 3)
+    intercept[IllegalStateException](lake.read("t", schema, Some(firstCompactSnap)).count())
+  }
+
+  test("manifest cache is evicted when gcOrphans tombstones a snapshot") {
+    val lake = CrawlLake(Files.createTempDirectory("lake-spec7").toString, spark)
+    lake.commit(0L, appends = Map("t" -> df(1L -> "a")))
+    lake.commit(1L, appends = Map("t" -> df(2L -> "b")))
+    lake.manifest(0L) // warm the cache
+    lake.gcOrphans(keepSnapshots = 1)
+    intercept[Exception](lake.manifest(0L)) // must fail, not serve stale cache
+    assert(lake.read("t", schema).count() == 2)
+  }
+
   test("commit of an empty DataFrame keeps the manifest tight") {
     val lake = CrawlLake(Files.createTempDirectory("lake-spec5").toString, spark)
     lake.commit(0L, appends = Map("t" -> df(1L -> "a")))
