@@ -41,6 +41,13 @@ final case class CrawlConfig(
       * the driver (the round-1 plan broadcast unconditionally, which dies
       * at 10^6+ hosts × budget). */
     fetchForceBroadcast: Boolean = false,
+    /** cross-tick politeness: a host fetched in any of the last
+      * `hostCooldownTicks` ticks is not scheduled again until the window
+      * passes (0 = off). Generalizes the reference's rate(720 minutes)
+      * schedule gap to per-host enforcement when triggers fire faster than
+      * the politeness interval (continuous/streaming operation); derived
+      * from fetch_log, so it is deterministic and resumes exactly. */
+    hostCooldownTicks: Int = 0,
     /** fold seen-set delta lists into the Bloom/cuckoo segments every K
       * ticks. Between compactions a tick appends exact sorted-hash delta
       * segments (bytes ∝ admitted URLs, not P × filter size); the probe
@@ -167,7 +174,16 @@ final class CrawlDriver(
   private def runBatch(batchId: Long): TickStats = {
     val ts = tickTs(batchId)
 
-    val allowed = RobotsFilter.filterAllowed(pending, robots)
+    // cross-tick host cooldown: only the last K tick partitions of
+    // fetch_log are scanned (batch_id min/max prunes parquet files, and
+    // ticks are one partition each), so the recent-host set is small and
+    // broadcast into the anti-join
+    val cooled =
+      if (cfg.hostCooldownTicks <= 0) pending
+      else Politeness.hostCooldown(
+        pending,
+        fetchLog.where(col("batch_id") >= lit(batchId - cfg.hostCooldownTicks)).select("host"))
+    val allowed = RobotsFilter.filterAllowed(cooled, robots)
     // localCheckpoint (NOT persist): the scheduled batch is re-read by the
     // commit writes, and with a bucketed lake the frontier/fetch_log INSERTs
     // refreshTable their targets — which invalidates any cache whose plan
@@ -313,15 +329,19 @@ final class CrawlDriver(
     stats
   }
 
-  /** Run `n` ticks; stops early when a tick schedules nothing. */
+  /** Run `n` ticks; stops early when the crawl is drained. With a host
+    * cooldown a single empty tick is NOT drained — hosts may merely be
+    * cooling down — so the stop condition is hostCooldownTicks+1
+    * consecutive empty ticks (after a full window with no fetch, every
+    * host is eligible again, so a further empty tick means truly empty). */
   def run(n: Int): Seq[TickStats] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[TickStats]
     var i = 0
-    var done = false
-    while (i < n && !done) {
+    var consecutiveEmpty = 0
+    while (i < n && consecutiveEmpty <= math.max(0, cfg.hostCooldownTicks)) {
       val s = tick()
       out += s
-      if (s.scheduled == 0) done = true
+      if (s.scheduled == 0) consecutiveEmpty += 1 else consecutiveEmpty = 0
       i += 1
     }
     out.toSeq

@@ -74,13 +74,18 @@ object ReferenceSimulator {
       budget: Int,
       ticks: Int,
       robots: Map[String, RobotsEntry] = Map.empty,
-      linkFilter: String => Boolean = _ => true): SimResult = {
+      linkFilter: String => Boolean = _ => true,
+      /** cross-tick host cooldown: a host fetched at tick b is ineligible
+        * for ticks b+1 .. b+cooldownTicks (mirrors
+        * CrawlConfig.hostCooldownTicks; 0 = off). */
+      cooldownTicks: Int = 0): SimResult = {
 
     val pageByHash: Map[Long, SynthPage] =
       pages.map(p => UrlCanonicalizer.urlHash(p.page.url) -> p).toMap
 
     val frontier = mutable.LinkedHashMap.empty[Long, FrontierEntry]
     val fetched = mutable.Set.empty[Long]
+    val hostLastTick = mutable.Map.empty[String, Long]
     val crawlOrder = mutable.ArrayBuffer.empty[ScheduledRow]
     val extractedTexts = mutable.Map.empty[Long, String]
 
@@ -96,6 +101,8 @@ object ReferenceSimulator {
       // pending + robots filter
       val pending = frontier.valuesIterator
         .filterNot(e => fetched.contains(e.url_hash))
+        .filterNot(e => cooldownTicks > 0 &&
+          hostLastTick.get(e.host).exists(lt => t - lt <= cooldownTicks))
         .filter(e => RobotsMatcher.allowedUrl(robots, e.host, e.url))
         .toVector
 
@@ -119,6 +126,7 @@ object ReferenceSimulator {
       val discoveries = mutable.ArrayBuffer.empty[FrontierEntry]
       scheduled.foreach { e =>
         fetched += e.url_hash
+        hostLastTick(e.host) = t
         pageByHash.get(e.url_hash) match {
           case None =>
             crawlOrder += ScheduledRow(t, e.url_hash, e.url, e.host, e.depth, 404, e.seq_in_page)

@@ -55,6 +55,32 @@ class CrawlDriverSpec extends AnyFunSuite {
     assert(engineTexts == sim.extractedTexts) // byte-identical per url
   }
 
+  test("host cooldown: cross-tick rate limit matches the sequential oracle exactly") {
+    val cooldown = 2
+    val cfg = CrawlConfig(
+      budget = 2, seenPartitions = 8, expectedPerSegment = 4096, hostCooldownTicks = cooldown)
+    val (driver, _) = newDriver(cfg)
+    driver.init(PageSynth.seeds(N, 3))
+    val stats = driver.run(6)
+    val sim = ReferenceSimulator.crawl(
+      corpus, seedUrls, budget = 2, ticks = stats.size, robotsMap, cooldownTicks = cooldown)
+    assert(engineOrder(driver) == sim.crawlOrder.map(r => (r.batchId, r.urlHash, r.status)))
+
+    // the limiter actually bites: no host is fetched in two ticks closer
+    // than the cooldown window
+    val byHost = driver.fetchLog.select("host", "batch_id").as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    byHost.foreach { case (host, batches) =>
+      batches.sliding(2).foreach {
+        case Array(a, b) => assert(b - a > cooldown, s"$host fetched at ticks $a and $b")
+        case _ => ()
+      }
+    }
+    // and run() does not stop on a cooldown-induced empty tick
+    assert(stats.count(_.scheduled == 0) >= 1 || stats.size == 6,
+      s"expected cooldown gaps in ${stats.map(_.scheduled)}")
+  }
+
   test("robots rules are enforced (disallowed host pages never scheduled)") {
     val cfg = CrawlConfig(budget = 3, seenPartitions = 8, expectedPerSegment = 4096)
     val (driver, _) = newDriver(cfg)

@@ -50,6 +50,38 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful rate limiter: token bucket refills across micro-batches") {
+    val dir = Files.createTempDirectory("graft-stream-rate").toString
+    val sink = s"ratelimit_sink_${System.identityHashCode(this)}"
+
+    // batch 1: 4 rows for hostA; burst 2 admits exactly 2
+    spark.createDataset((1L to 4L).map(i => fe(i, "a.com", i)))
+      .write.mode("append").parquet(dir)
+    val stream = StreamingOps.frontierDeltaStream(spark, dir).as[FrontierEntry]
+    val admissions = StreamingOps.statefulRateLimit(stream, refillPerBatch = 1.0, burst = 2.0)
+    val q = admissions.writeStream
+      .format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-stream-ckpt3").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      def admitted() = spark.table(sink).where($"admitted").count()
+      assert(admitted() == 2L, "burst cap")
+
+      // batch 2: bucket refilled by 1 → exactly one more admission
+      spark.createDataset((11L to 13L).map(i => fe(i, "a.com", i)))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(admitted() == 3L, "refill per micro-batch")
+
+      // batch 3: again +1 token → one more; average rate = refillPerBatch
+      spark.createDataset((21L to 23L).map(i => fe(i, "a.com", i)))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(admitted() == 4L)
+    } finally q.stop()
+  }
+
   test("streaming end-to-end crawl ≡ batch loop (one tick per micro-batch)") {
     val N = 150L
     val corpus = graft.synth.PageSynth.pages(N)
