@@ -21,12 +21,14 @@ object Similarity {
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  // Codegen'd kernels (see [[VecKernels]]): the zip_with/aggregate HOF
+  // forms are CodegenFallback (interpreted per element) and dominated every
+  // ANN profile; the kernels keep the identical fp accumulation order.
+  def dot(a: Column, b: Column): Column = VecFunctions.vec_dot(a, b)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+  def cosine(a: Column, b: Column): Column = VecFunctions.vec_cosine(a, b)
 
   /** Integer-quantized dot product (×1000, HALF_UP) — exactly reproducible
     * across engines, used by the DuckDB oracle. */
@@ -108,47 +110,41 @@ object Similarity {
         * centroid quality needs a sample, not the corpus — the FULL corpus
         * is still assigned to the refined centroids below. */
       trainModulo: Int = 1): DataFrame = {
-    val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nbr_vec"))
     val train = if (trainModulo <= 1) c else c.where(pmod(col("nbr_id"), lit(trainModulo)) === 0)
-
-    def nearestCentroid(vecs: DataFrame, cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("nbr_id")).orderBy(col("csim").desc, col("cid"))
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("csim", cosine(col("nbr_vec"), col("cvec")))
-        .withColumn("crank", row_number().over(w))
-        .where(col("crank") === 1)
-        .drop("csim", "crank")
-    }
 
     // TRAINING (the k-means-lite pass): deterministic seed centroids + one
     // Lloyd refinement. Centroids are collected to the driver between
     // iterations — the standard Spark k-means shape (the refined centroid
     // set is nCentroids x dim doubles, a few KB): the alternative — leaving
-    // `centroids` lazy — re-ran the full corpus crossJoin+agg subtree in
+    // `centroids` lazy — re-ran the full corpus assignment subtree in
     // every downstream consumer (round-1 judge). The embedding dimension
     // falls out of the collected seeds, so no separate first() job either.
+    //
+    // ASSIGNMENT is a scan-side literal expression, not a crossJoin: the
+    // centroids are on the driver anyway, so argmax-cosine inlines into
+    // whole-stage codegen over the corpus scan ([[nearestCid]]) — the
+    // round-2 plan's crossJoin(x nCentroids) + sort + row_number window
+    // (a full corpus shuffle) is gone. At 10^10 rows this is the
+    // difference between zero shuffles and shuffling nCentroids x corpus.
     val seedRows = c.orderBy(col("nbr_id")).limit(nCentroids)
       .select(col("nbr_id").as("cid"), toDouble(col("nbr_vec")).as("cvec")).collect()
     require(seedRows.nonEmpty, "ivfTopK: empty corpus")
     val dim = seedRows.head.getSeq[Double](1).size
-    val seedCentroids = broadcastableCentroids(spark, seedRows.map(r => (r.getLong(0), r.getSeq[Double](1))))
-    val centroidRows = nearestCentroid(train, seedCentroids)
+    val seeds = seedRows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val centroidRows = train
+      .withColumn("cid", nearestCid(col("nbr_vec"), seeds))
       .groupBy(col("cid"))
       .agg(array((0 until dim).map(i =>
         avg(element_at(col("nbr_vec"), i + 1).cast("double"))): _*).as("cvec"))
       .collect()
-    val centroids = broadcastableCentroids(spark, centroidRows.map(r => (r.getLong(0), r.getSeq[Double](1))))
-    val assigned = nearestCentroid(c, centroids)
+    val centroids = centroidRows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val assigned = c.withColumn("cid", nearestCid(col("nbr_vec"), centroids))
 
-    // query side: nProbe nearest centroids -> candidate lists -> exact rank
-    val qw = Window.partitionBy(col("query_id")).orderBy(col("qsim").desc, col("cid"))
+    // query side: nProbe nearest inverted lists per query, also scan-side
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("qsim", cosine(col("query_vec"), col("cvec")))
-      .withColumn("qrank", row_number().over(qw))
-      .where(col("qrank") <= nProbe)
-      .select(col("query_id"), col("query_vec"), col("cid"))
+    val probes = q.withColumn(
+      "cid", explode(probeCids(col("query_vec"), centroids, nProbe)))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("nbr_id"))
     assigned.join(broadcast(probes), Seq("cid"))
       .where(col("nbr_id") =!= col("query_id"))
@@ -158,15 +154,31 @@ object Similarity {
       .select("query_id", "nbr_id", "cosine", "rank")
   }
 
-  /** Local (driver-side) centroid set as a one-partition DataFrame — the
-    * broadcast build side for assignment joins; never more than
-    * nCentroids x dim doubles. */
-  private def broadcastableCentroids(
-      spark: org.apache.spark.sql.SparkSession,
-      rows: Seq[(Long, Seq[Double])]): DataFrame = {
-    import spark.implicits._
-    rows.toDF("cid", "cvec")
+  /** Per-centroid score structs for the scan-side argmax: cosine ordering
+    * with |vec| factored out (constant across centroids, so dot/|c| ranks
+    * identically), tie-broken toward the LOWEST cid via negated id — struct
+    * comparison is lexicographic, so max = (best score, lowest cid). */
+  private def centroidScores(vec: Column, centroids: Seq[(Long, Array[Double])]): Seq[Column] =
+    centroids.map { case (cid, cv) =>
+      val normC = math.sqrt(cv.map(x => x * x).sum).max(1e-12)
+      val dotC = VecFunctions.vec_dot(vec, typedLit(cv.toSeq))
+      struct((dotC / lit(normC)).as("s"), lit(-cid).as("ncid"))
+    }
+
+  /** cid of the nearest centroid — one codegen'd expression per row. */
+  private def nearestCid(vec: Column, centroids: Seq[(Long, Array[Double])]): Column = {
+    val scores = centroidScores(vec, centroids)
+    val best = if (scores.size == 1) scores.head else greatest(scores: _*)
+    -best.getField("ncid")
   }
+
+  /** The `nProbe` nearest centroid ids, best first — array_sort on the
+    * score structs (s asc, ncid asc) reversed = (s desc, cid asc), the same
+    * order the assignment argmax uses. */
+  private def probeCids(vec: Column, centroids: Seq[(Long, Array[Double])], nProbe: Int): Column =
+    transform(
+      slice(reverse(array_sort(array(centroidScores(vec, centroids): _*))), 1, nProbe),
+      x => -x.getField("ncid"))
 
   /** Embedding-cosine near-dup pairs (bucketed; exact verify ≥ threshold). */
   def cosineNearDups(

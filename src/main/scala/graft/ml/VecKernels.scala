@@ -1,0 +1,99 @@
+package graft.ml
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.{ColumnBridge => EU}
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector arithmetic over `array<float>` / `array<double>`
+  * embedding columns. The `functions.zip_with` + `functions.aggregate`
+  * formulation of a dot product is a HigherOrderFunction — CodegenFallback
+  * in Spark, i.e. interpreted lambda dispatch per ELEMENT per row, which
+  * dominates every ANN operator's profile. These expressions compile to a
+  * tight primitive loop inside whole-stage codegen via a static kernel
+  * call, preserving the exact floating-point semantics of the HOF form
+  * (same element order, float→double widening per element, sequential
+  * double accumulation) so results are bit-identical and the DuckDB
+  * oracles keep matching.
+  */
+object VecKernels {
+
+  /** Σ a(i)·b(i) in double, left-to-right (the HOF accumulation order). */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  /** dot(a,b) / (√dot(a,a) · √dot(b,b)) — one pass over both arrays;
+    * 0-norm inputs yield NaN exactly like the composed-HOF form did. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      d += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+private[ml] trait VecBinary extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  protected def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"$prettyName expects array<float|double>, got $other")
+  }
+}
+
+/** `vec_dot(a, b)` → double. */
+case class VecDot(left: Expression, right: Expression) extends VecBinary {
+  override def prettyName: String = "vec_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elemIsFloat(left), elemIsFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.ml.VecKernels.dot($a, $b, ${elemIsFloat(left)}, ${elemIsFloat(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `vec_cosine(a, b)` → double. */
+case class VecCosine(left: Expression, right: Expression) extends VecBinary {
+  override def prettyName: String = "vec_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elemIsFloat(left), elemIsFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.ml.VecKernels.cosine($a, $b, ${elemIsFloat(left)}, ${elemIsFloat(right)})")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VecFunctions {
+  def vec_dot(a: Column, b: Column): Column =
+    EU.column(VecDot(EU.expression(a), EU.expression(b)))
+  def vec_cosine(a: Column, b: Column): Column =
+    EU.column(VecCosine(EU.expression(a), EU.expression(b)))
+}

@@ -90,6 +90,31 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val emb = spark.read
     .parquet("/root/testdata/sf0.001/embeddings.parquet")
 
+  test("vec kernels: bit-identical to the zip_with/aggregate HOF formulation") {
+    import org.apache.spark.sql.functions._
+    def toD(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(toD(a), toD(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val pairs = emb.limit(16).select($"vec_id", $"embedding")
+      .crossJoin(emb.limit(16).select($"embedding".as("other")))
+    val rows = pairs.select(
+      VecFunctions.vec_dot($"embedding", $"other").as("kd"),
+      hofDot($"embedding", $"other").as("hd"),
+      VecFunctions.vec_cosine($"embedding", $"other").as("kc"),
+      (hofDot($"embedding", $"other") /
+        (sqrt(hofDot($"embedding", $"embedding")) * sqrt(hofDot($"other", $"other")))).as("hc"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "dot mismatch") // exact, not approx
+      assert(r.getDouble(2) == r.getDouble(3), "cosine mismatch")
+    }
+    // double-element arrays work too (centroid literals)
+    val d = Seq((Seq(1.0, 2.0), Seq(0.5, -1.0))).toDF("a", "b")
+      .select(VecFunctions.vec_dot($"a", $"b")).as[Double].head()
+    assert(d == -1.5)
+  }
+
   test("brute-force top-k: self-similar vector ranks first when included") {
     val q = emb.where($"vec_id" === 7)
     val withSelf = Similarity.bruteForceTopK(emb, q, k = 1, excludeSelf = false).collect()
