@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Measures this sandbox's PURE-CPU parallel-scaling ceiling: a
+  * register-level xxhash loop over `spark.range` — zero I/O, zero
+  * allocation, zero shuffle — run at a given core count, one JVM per
+  * config (same methodology as ScaleBench). No Spark job can scale better
+  * than this on the same machine at the same moment, so the engine's N→4N
+  * efficiency is meaningful only relative to the SAME-DAY ceiling: this VM
+  * is multi-tenant and its deliverable parallel throughput drifts hour to
+  * hour (round-2 measured 0.92 at 2→8; re-measure alongside every
+  * ScaleBench session).
+  *
+  * Usage: runMain graft.tools.CpuCeiling <cpus> [rowsPerCore]
+  */
+object CpuCeiling {
+
+  /** 16 chained xxhash rounds per row — enough work per row that the
+    * range-iterator overhead is negligible. */
+  def burn(lo: Long, hi: Long): Long = {
+    var acc = 0L
+    var i = lo
+    while (i < hi) {
+      var h = i
+      var j = 0L
+      while (j < 16) { h = graft.util.XxHash64.hashLong(h, j); j += 1 }
+      acc ^= h
+      i += 1
+    }
+    acc
+  }
+
+  def run(spark: SparkSession, n: Long, slices: Int): Long = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, slices)
+      .mapPartitions { it =>
+        var lo = Long.MaxValue
+        var hi = Long.MinValue
+        it.foreach { v => if (v < lo) lo = v; if (v >= hi) hi = v + 1 }
+        Iterator.single(if (lo < hi) burn(lo, hi) else 0L)
+      }
+      .reduce(_ ^ _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = args.lift(0).map(_.toInt).getOrElse(8)
+    val perCore = args.lift(1).map(_.toLong).getOrElse(40_000_000L)
+    val n = perCore * cpus
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    run(spark, math.min(n / 8, 10_000_000L), cpus * 4) // JIT warmup
+    val t0 = System.nanoTime()
+    run(spark, n, cpus * 4)
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.stop()
+    println(f"""{"bench":"cpu_ceiling","cpus":$cpus,"rows":$n,"wall_s":$wall%.2f,"rows_per_sec":${n / wall}%.0f}""")
+  }
+}
