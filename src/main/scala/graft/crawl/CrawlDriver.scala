@@ -172,18 +172,23 @@ final class CrawlDriver(
   }
 
   private def runBatch(batchId: Long): TickStats = {
+    val tEntry = System.nanoTime()
     val ts = tickTs(batchId)
 
     // cross-tick host cooldown: only the last K tick partitions of
     // fetch_log are scanned (batch_id min/max prunes parquet files, and
     // ticks are one partition each), so the recent-host set is small and
     // broadcast into the anti-join
+    def mark(label: String): Unit =
+      if (sys.env.contains("GRAFT_TRACE"))
+        println(f"[trace]   mark $label: ${(System.nanoTime() - tEntry) / 1e9}%.2fs")
     val cooled =
       if (cfg.hostCooldownTicks <= 0) pending
       else Politeness.hostCooldown(
         pending,
         fetchLog.where(col("batch_id") >= lit(batchId - cfg.hostCooldownTicks)).select("host"))
     val allowed = RobotsFilter.filterAllowed(cooled, robots)
+    mark("allowed")
     // localCheckpoint (NOT persist): the scheduled batch is re-read by the
     // commit writes, and with a bucketed lake the frontier/fetch_log INSERTs
     // refreshTable their targets — which invalidates any cache whose plan
@@ -192,6 +197,7 @@ final class CrawlDriver(
     // truncates the lineage to a LogicalRDD, so the working set survives
     // the refresh. The batch is politeness-capped (small) by construction.
     val scheduled = Politeness.schedule(allowed, cfg.budget).localCheckpoint(false)
+    mark("scheduled")
 
     // fetch = pages ⋈ scheduled (AQE size-gates the broadcast — see
     // CrawlConfig.fetchForceBroadcast), and BOTH extraction kernels run
@@ -209,6 +215,7 @@ final class CrawlDriver(
         extract_document(col("html"), cfg.blockCap).as("doc"),
         extract_links(col("html"), col("url")).as("links"))
       .persist(cfg.persistLevel)
+    mark("processed")
     val missing = scheduled.join(processed.select("url_hash"), Seq("url_hash"), "left_anti")
 
     val fetchRows = processed
@@ -236,6 +243,7 @@ final class CrawlDriver(
           xxhash64(slice(graft.ml.TextHashFunctions.minhash_sig(col("extracted_text")), 1, 8)))
         .withColumn("fingerprint", graft.ml.TextHashFunctions.doc_fingerprint(col("extracted_text")))
         .withColumn("quality", graft.ml.TextAnalysis.qualityFeatures(col("extracted_text")))
+    mark("extractedRows")
 
     // discovery: links of fetched pages, document order preserved
     val rawLinks = processed
@@ -267,17 +275,27 @@ final class CrawlDriver(
         struct(col("depth"), col("discovery_ts"), col("seq_in_page"), col("src_hash"))).as("w"))
       .select(col("url_hash"), col("w.*"))
       .as[FrontierEntry]
+    mark("batchDedup")
 
     // cross-batch dedup: bloom/cuckoo pre-screen, exact confirm.
     // localCheckpoint for the same reason as `scheduled`: fresh's plan
     // contains the frontier scan (exact confirm), which the frontier INSERT
     // would invalidate mid-commit.
-    val fresh = SeenSet
+    val freshPlan = SeenSet
       .filterNewFiltered(batchDedup, seenSegments, frontier.select("url_hash"), cfg.seenPartitions)
       .toDF()
-      .localCheckpoint(false)
+    mark("freshPlan")
+    val fresh = freshPlan.localCheckpoint(false)
+    mark("fresh")
 
     val tTrace = System.nanoTime()
+    // NB: localCheckpoint(lazy) on an AQE plan still runs doExecute — the
+    // adaptive execution materializes every query stage to produce the
+    // final RDD — so the span up to here includes the ACTUAL distributed
+    // schedule→fetch→extract→probe chain execution, not just planning
+    // (verified by jstack: main blocked in AdaptiveSparkPlanExec.doExecute).
+    if (sys.env.contains("GRAFT_TRACE"))
+      println(f"[trace] chain exec (fetch+extract+probe via checkpoint): ${(tTrace - tEntry) / 1e9}%.2fs")
     // materialize the shared working set ONCE before the commit: the four
     // commit writes run concurrently (CrawlLake) and would otherwise race
     // to recompute the uncached processed→links→dedup→probe chain 4x.

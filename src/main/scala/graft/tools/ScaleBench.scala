@@ -2,6 +2,8 @@ package graft.tools
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -98,6 +100,10 @@ object ScaleBench {
       val t0 = System.nanoTime()
       val stats = driver.run(ticks)
       val wall = (System.nanoTime() - t0) / 1e9
+      // reclaim this config's lake — repeated runs were leaking ~600 MB of
+      // tmpfs each (the shared pages corpus stays for reuse)
+      scala.util.Using.resource(Files.walk(Paths.get(lake.root)))(
+        _.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_)))
       RunResult(cpus, stats.map(_.fetched).sum, wall)
     } finally spark.stop()
   }
