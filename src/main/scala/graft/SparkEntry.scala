@@ -252,7 +252,17 @@ object SparkEntry {
         k = 5, nCentroids = 16, nProbe = 4, trainModulo = 4)
         .where(col("rank") === 1)
         .select("query_id", "nbr_id")
-    }))
+    }),
+
+    // re-crawl TTL (revisit policy, operators.Recrawl): frontier = orders,
+    // fetch lineage = lineitem (l_shipdate as fetch ts) — pending under a
+    // freshness horizon = never fetched OR last fetch older than the horizon
+    "q29_recrawl_ttl" -> ((s, dir) =>
+      graft.operators.Recrawl.pendingWithTtl(
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
+        t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"), col("l_shipdate")),
+        key = "o_orderkey", tsCol = "l_shipdate",
+        horizon = lit("1996-01-01").cast("timestamp"))))
 
   // --- oracle SQL (DuckDB dialect of the same queries; aliases match) ---
 
@@ -366,6 +376,11 @@ object SparkEntry {
       "SELECT vec_id AS query_id, vec_id + 1000000 AS nbr_id FROM embeddings WHERE vec_id < 3",
     "q28_ann_ivf" ->
       "SELECT vec_id AS query_id, vec_id + 1000000 AS nbr_id FROM embeddings WHERE vec_id < 3",
+    "q29_recrawl_ttl" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders o
+        |LEFT JOIN (SELECT l_orderkey, max(l_shipdate) AS last_fetch
+        |           FROM lineitem GROUP BY 1) f ON o.o_orderkey = f.l_orderkey
+        |WHERE last_fetch IS NULL OR last_fetch < TIMESTAMP '1996-01-01'""".stripMargin,
     "q24_ann_quantized_topk" ->
       """WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
         |q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 3),

@@ -48,6 +48,12 @@ final case class CrawlConfig(
       * the politeness interval (continuous/streaming operation); derived
       * from fetch_log, so it is deterministic and resumes exactly. */
     hostCooldownTicks: Int = 0,
+    /** re-crawl TTL in ticks (0 = crawl-once, reference parity): a page
+      * fetched at batch b becomes PENDING again at batch b + K, the
+      * Spark-native generalization of the reference re-running its whole
+      * scrape every `rate(720 minutes)` (see [[graft.operators.Recrawl]]).
+      * The TTL view preserves the zero-exchange bucketed PENDING plan. */
+    recrawlAfterTicks: Int = 0,
     /** fold seen-set delta lists into the Bloom/cuckoo segments every K
       * ticks. Between compactions a tick appends exact sorted-hash delta
       * segments (bytes ∝ admitted URLs, not P × filter size); the probe
@@ -144,6 +150,17 @@ final class CrawlDriver(
     * uses exactly this frame. */
   def pending: DataFrame =
     frontier.join(fetchLog.select("url_hash"), Seq("url_hash"), "left_anti")
+
+  /** PENDING under the re-crawl TTL: never fetched, or last fetched at
+    * batch ≤ `batchId - recrawlAfterTicks` (so a fetch ages out after
+    * exactly K ticks). Crawl-once (`recrawlAfterTicks = 0`) keeps the
+    * anti-join plan — the aggregate-free shape matters at 10^10 rows. */
+  def pendingAt(batchId: Long): DataFrame =
+    if (cfg.recrawlAfterTicks <= 0) pending
+    else graft.operators.Recrawl.pendingWithTtl(
+      frontier, fetchLog.select("url_hash", "batch_id"),
+      key = "url_hash", tsCol = "batch_id",
+      horizon = lit(batchId - cfg.recrawlAfterTicks + 1))
   private def seenSegments: Dataset[SeenSet.Segment] =
     lake.read("seen", segmentSchema).as[SeenSet.Segment]
 
@@ -183,9 +200,9 @@ final class CrawlDriver(
       if (sys.env.contains("GRAFT_TRACE"))
         println(f"[trace]   mark $label: ${(System.nanoTime() - tEntry) / 1e9}%.2fs")
     val cooled =
-      if (cfg.hostCooldownTicks <= 0) pending
+      if (cfg.hostCooldownTicks <= 0) pendingAt(batchId)
       else Politeness.hostCooldown(
-        pending,
+        pendingAt(batchId),
         fetchLog.where(col("batch_id") >= lit(batchId - cfg.hostCooldownTicks)).select("host"))
     val allowed = RobotsFilter.filterAllowed(cooled, robots)
     mark("allowed")
@@ -348,15 +365,21 @@ final class CrawlDriver(
   }
 
   /** Run `n` ticks; stops early when the crawl is drained. With a host
-    * cooldown a single empty tick is NOT drained — hosts may merely be
-    * cooling down — so the stop condition is hostCooldownTicks+1
+    * cooldown or a re-crawl TTL a single empty tick is NOT drained — hosts
+    * may be cooling down, or every page may currently be fresh — so the
+    * stop condition is max(hostCooldownTicks, recrawlAfterTicks)+1
     * consecutive empty ticks (after a full window with no fetch, every
-    * host is eligible again, so a further empty tick means truly empty). */
+    * host and every aged-out page is eligible again, so a further empty
+    * tick means truly empty). */
   def run(n: Int): Seq[TickStats] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[TickStats]
     var i = 0
     var consecutiveEmpty = 0
-    while (i < n && consecutiveEmpty <= math.max(0, cfg.hostCooldownTicks)) {
+    // with a re-crawl TTL an empty tick only means everything is currently
+    // fresh — pages age back in after recrawlAfterTicks, so the drain
+    // window must cover the full TTL too
+    val drainWindow = math.max(math.max(0, cfg.hostCooldownTicks), cfg.recrawlAfterTicks)
+    while (i < n && consecutiveEmpty <= drainWindow) {
       val s = tick()
       out += s
       if (s.scheduled == 0) consecutiveEmpty += 1 else consecutiveEmpty = 0

@@ -43,20 +43,53 @@ object CpuCeiling {
       .reduce(_ ^ _)
   }
 
+  /** Memory-BANDWIDTH variant: xxhash over a 256 MB per-task byte array
+    * (way past L3, so every pass streams DRAM). The text kernels
+    * (extraction, shingling, minhash) are byte-streaming, so their true
+    * same-day scaling ceiling is this one, not the register-CPU one —
+    * DRAM bandwidth is shared across cores and does not scale 4x. */
+  def runMem(spark: SparkSession, passesPerTask: Int, tasks: Int): Long = {
+    import spark.implicits._
+    val mb = 256
+    spark.range(0L, tasks.toLong, 1L, tasks)
+      .mapPartitions { it =>
+        val buf = new Array[Byte](mb * 1024 * 1024)
+        java.util.Arrays.fill(buf, 7.toByte)
+        var acc = 0L
+        it.foreach { t =>
+          var p = 0
+          while (p < passesPerTask) { acc ^= graft.util.XxHash64.hash(buf, t + p); p += 1 }
+        }
+        Iterator.single(acc)
+      }
+      .reduce(_ ^ _)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = args.lift(0).map(_.toInt).getOrElse(8)
-    val perCore = args.lift(1).map(_.toLong).getOrElse(40_000_000L)
-    val n = perCore * cpus
+    val mode = args.lift(1).getOrElse("cpu")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    run(spark, math.min(n / 8, 10_000_000L), cpus * 4) // JIT warmup
-    val t0 = System.nanoTime()
-    run(spark, n, cpus * 4)
-    val wall = (System.nanoTime() - t0) / 1e9
+    val (label, unitsPerSec, wall) = mode match {
+      case "mem" =>
+        val passes = 24
+        runMem(spark, 2, cpus) // warmup + JIT
+        val t0 = System.nanoTime()
+        runMem(spark, passes, cpus)
+        val w = (System.nanoTime() - t0) / 1e9
+        ("mem_ceiling", (cpus.toLong * passes * 256L * 1024 * 1024 / w).toLong, w)
+      case _ =>
+        val n = 40_000_000L * cpus
+        run(spark, math.min(n / 8, 10_000_000L), cpus * 4) // JIT warmup
+        val t0 = System.nanoTime()
+        run(spark, n, cpus * 4)
+        val w = (System.nanoTime() - t0) / 1e9
+        ("cpu_ceiling", (n / w).toLong, w)
+    }
     spark.stop()
-    println(f"""{"bench":"cpu_ceiling","cpus":$cpus,"rows":$n,"wall_s":$wall%.2f,"rows_per_sec":${n / wall}%.0f}""")
+    println(f"""{"bench":"$label%s","cpus":$cpus,"wall_s":$wall%.2f,"units_per_sec":$unitsPerSec%d}""")
   }
 }
