@@ -252,14 +252,21 @@ final class CrawlDriver(
         lower(hex(col("url_hash"))).as("job_id"),
         col("doc.data").as("data"), col("doc.text").as("extracted_text"),
         lit(ts).as("extract_ts"), lit(batchId).as("batch_id"))
+    // fused single-pass enrichment (TextEnrich): one tokenization, zero
+    // regexes, bit-identical to the declarative simhash64/minhash_sig/
+    // doc_fingerprint/qualityFeatures composition it replaces (parity
+    // regression-tested); codegen subexpression elimination evaluates the
+    // struct once for all four projected columns
     val extractedRows =
       if (!cfg.enrich) extractedBase
-      else extractedBase
-        .withColumn("simhash", graft.ml.TextHashFunctions.simhash64(col("extracted_text")))
-        .withColumn("minhash_band0",
-          xxhash64(slice(graft.ml.TextHashFunctions.minhash_sig(col("extracted_text")), 1, 8)))
-        .withColumn("fingerprint", graft.ml.TextHashFunctions.doc_fingerprint(col("extracted_text")))
-        .withColumn("quality", graft.ml.TextAnalysis.qualityFeatures(col("extracted_text")))
+      else {
+        val e = graft.ml.TextEnrichFunctions.enrich_doc(col("extracted_text"))
+        extractedBase
+          .withColumn("simhash", e.getField("simhash"))
+          .withColumn("minhash_band0", e.getField("minhash_band0"))
+          .withColumn("fingerprint", e.getField("fingerprint"))
+          .withColumn("quality", e.getField("quality"))
+      }
     mark("extractedRows")
 
     // discovery: links of fetched pages, document order preserved

@@ -36,8 +36,12 @@ object TextHashKernels {
   }
 
   /** Hashes of w-token shingles (w-grams of the token stream). */
-  def shingleHashes(text: String, w: Int): Array[Long] = {
-    val ts = tokens(text)
+  def shingleHashes(text: String, w: Int): Array[Long] =
+    shingleHashesFromTokens(tokens(text), w)
+
+  /** Shingle hashes over an already-tokenized stream — lets a fused caller
+    * (e.g. [[EnrichDoc]]) tokenize once for minhash AND simhash. */
+  def shingleHashesFromTokens(ts: Array[String], w: Int): Array[Long] = {
     if (ts.length < w) {
       if (ts.isEmpty) Array.empty
       else Array(XxHash64.hashUtf8(ts.mkString(" ")))
@@ -66,8 +70,10 @@ object TextHashKernels {
 
   /** MinHash signature: for each of `numHashes` hash families take the min
     * over shingle hashes. */
-  def minhash(text: String, shingleWidth: Int, numHashes: Int): Array[Long] = {
-    val shingles = shingleHashes(text, shingleWidth)
+  def minhash(text: String, shingleWidth: Int, numHashes: Int): Array[Long] =
+    minhashFromShingles(shingleHashes(text, shingleWidth), numHashes)
+
+  def minhashFromShingles(shingles: Array[Long], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val (as, bs) = coeffsFor(numHashes)
     var s = 0
@@ -85,8 +91,9 @@ object TextHashKernels {
   }
 
   /** 64-bit SimHash over token hashes (bit-vote). */
-  def simhash(text: String): Long = {
-    val ts = tokens(text)
+  def simhash(text: String): Long = simhashFromTokens(tokens(text))
+
+  def simhashFromTokens(ts: Array[String]): Long = {
     val votes = new Array[Int](64)
     var i = 0
     while (i < ts.length) {

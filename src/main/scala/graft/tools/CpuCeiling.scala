@@ -65,6 +65,39 @@ object CpuCeiling {
       .reduce(_ ^ _)
   }
 
+  /** ENRICH-KERNEL variant: the actual per-page enrichment work (minhash
+    * signature + simhash + rolling fingerprint) over deterministic ~2 KB
+    * synthetic texts, pure JVM with no Spark machinery in the loop. This is
+    * the honest same-day ceiling for the crawl tick's dominant cost —
+    * string-heavy, allocation-heavy work whose per-core throughput degrades
+    * under parallelism on shared cache/DRAM in ways the sequential-stream
+    * `mem` variant does not capture (measured: task CPU-sum grows ~20–30%
+    * from local[2] to local[8] on identical work). */
+  def runEnrich(spark: SparkSession, pagesPerTask: Int, tasks: Int): Long = {
+    import spark.implicits._
+    spark.range(0L, tasks.toLong, 1L, tasks)
+      .mapPartitions { it =>
+        var acc = 0L
+        it.foreach { t =>
+          var p = 0
+          while (p < pagesPerTask) {
+            val text = {
+              val sb = new java.lang.StringBuilder(2200)
+              var w = 0
+              while (w < 300) { sb.append("token"); sb.append((t * 131 + p * 31 + w * 7) % 997); sb.append(' '); w += 1 }
+              sb.toString
+            }
+            val mh = graft.ml.TextHashKernels.minhash(text, 5, 64)
+            acc ^= mh(0) ^ graft.ml.TextHashKernels.simhash(text) ^
+              graft.ml.TextHashKernels.rollingFingerprint(text)
+            p += 1
+          }
+        }
+        Iterator.single(acc)
+      }
+      .reduce(_ ^ _)
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = args.lift(0).map(_.toInt).getOrElse(8)
     val mode = args.lift(1).getOrElse("cpu")
@@ -74,6 +107,13 @@ object CpuCeiling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val (label, unitsPerSec, wall) = mode match {
+      case "enrich" =>
+        val perTask = 60000
+        runEnrich(spark, 5000, cpus) // warmup + JIT
+        val t0 = System.nanoTime()
+        runEnrich(spark, perTask, cpus)
+        val w = (System.nanoTime() - t0) / 1e9
+        ("enrich_ceiling", (cpus.toLong * perTask / w).toLong, w)
       case "mem" =>
         val passes = 24
         runMem(spark, 2, cpus) // warmup + JIT

@@ -40,7 +40,12 @@ object ScaleBench {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scalebench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      // 3 reduce slots per core: the corpus has deliberate megahost skew,
+      // and with exactly `cpus` reduce tasks one heavy host partition sets
+      // the whole stage's pace — over-partitioning + AQE coalescing keeps
+      // all cores fed (A/B'd at 8 cores; see BASELINE.md round 3)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", (cpus * 3).toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -25,6 +25,14 @@ class TextHashKernelsSpec extends AnyFunSuite {
     assert(simAD < 0.2, s"simAD=$simAD")
   }
 
+  test("minhash: k-hash signature is the exact prefix of a larger family") {
+    // CrawlDriver's enrich stage relies on this to compute band 0 with
+    // numHashes=8 instead of slicing a 64-hash signature
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    assert(minhash(t, 3, 8).toSeq == minhash(t, 3, 64).take(8).toSeq)
+    assert(minhash(t, 5, 16).toSeq == minhash(t, 5, 64).take(16).toSeq)
+  }
+
   test("simhash: near-identical texts within small hamming distance") {
     def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
     val base = "spark catalyst tungsten codegen shuffle partition broadcast join window aggregate"
