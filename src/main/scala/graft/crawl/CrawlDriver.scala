@@ -48,6 +48,12 @@ final case class CrawlConfig(
       * the politeness interval (continuous/streaming operation); derived
       * from fetch_log, so it is deterministic and resumes exactly. */
     hostCooldownTicks: Int = 0,
+    /** route fetched bodies through a sitemap content sniff: a page that
+      * is a sitemap (urlset / sitemapindex / plain-text) contributes its
+      * loc entries to discovery — in sitemap order — instead of anchor
+      * hrefs; an index's child sitemaps are crawled and re-expand next
+      * tick. Off = reference parity (anchor extraction only). */
+    sitemapDiscovery: Boolean = false,
     /** re-crawl TTL in ticks (0 = crawl-once, reference parity): a page
       * fetched at batch b becomes PENDING again at batch b + K, the
       * Spark-native generalization of the reference re-running its whole
@@ -215,6 +221,15 @@ final class CrawlDriver(
     // the refresh. The batch is politeness-capped (small) by construction.
     val scheduled = Politeness.schedule(allowed, cfg.budget).localCheckpoint(false)
     mark("scheduled")
+    // the checkpoint is materialized, so this count is a cheap cache read —
+    // and an empty schedule (drained crawl, every host cooling down, or
+    // every page fresh under the re-crawl TTL) short-circuits the whole
+    // fetch/extract/discovery/probe machinery (~10 Spark jobs of pure
+    // overhead per empty tick in steady-state TTL operation) down to the
+    // snapshot bookkeeping, which stays byte-identical: empty appends plus
+    // the same seen-compaction cadence
+    val scheduledCount = scheduled.count()
+    if (scheduledCount == 0L) return commitEmptyTick(batchId)
 
     // fetch = pages ⋈ scheduled (AQE size-gates the broadcast — see
     // CrawlConfig.fetchForceBroadcast), and BOTH extraction kernels run
@@ -230,7 +245,8 @@ final class CrawlDriver(
         col("url_hash"), col("url"), col("host"), col("depth"),
         length(col("html")).cast("long").as("bytes"),
         extract_document(col("html"), cfg.blockCap).as("doc"),
-        extract_links(col("html"), col("url")).as("links"))
+        (if (cfg.sitemapDiscovery) extract_links_auto(col("html"), col("url"))
+         else extract_links(col("html"), col("url"))).as("links"))
       .persist(cfg.persistLevel)
     mark("processed")
     val missing = scheduled.join(processed.select("url_hash"), Seq("url_hash"), "left_anti")
@@ -322,13 +338,11 @@ final class CrawlDriver(
       println(f"[trace] chain exec (fetch+extract+probe via checkpoint): ${(tTrace - tEntry) / 1e9}%.2fs")
     // materialize the shared working set ONCE before the commit: the four
     // commit writes run concurrently (CrawlLake) and would otherwise race
-    // to recompute the uncached processed→links→dedup→probe chain 4x.
-    // fresh.count() materializes scheduled and processed en route, so the
-    // scheduled.count() after it is a cache read, not a second traversal.
+    // to recompute the uncached processed→links→dedup→probe chain 4x
+    // (scheduled/processed materialize en route).
     val admittedCount = fresh.count()
     if (sys.env.contains("GRAFT_TRACE"))
       println(f"[trace] discover+dedup+probe: ${(System.nanoTime() - tTrace) / 1e9}%.2fs ($admittedCount new)")
-    val scheduledCount = scheduled.count()
     val stats =
       if (cfg.collectStats) {
         val fetchedCount = processed.count()
@@ -369,6 +383,43 @@ final class CrawlDriver(
       lake.compactTable("extracted")
     }
     stats
+  }
+
+  /** Empty-schedule tick: identical snapshot bookkeeping to the full path
+    * on empty inputs — empty appends to frontier/fetch_log/extracted and
+    * the unchanged seen-compaction cadence (a compact tick still folds the
+    * accumulated delta lists into filter segments even when this tick
+    * admits nothing) — without executing the fetch/extract/discovery/probe
+    * plans over provably-empty frames. */
+  private def commitEmptyTick(batchId: Long): TickStats = {
+    import org.apache.spark.sql.Row
+    def empty(schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+    val enrichedSchema =
+      if (!cfg.enrich) extractedSchema
+      else org.apache.spark.sql.types.StructType(
+        extractedSchema.fields ++ graft.ml.TextEnrich.schema.fields.map(_.copy(nullable = true)))
+    val deltaSegments = SeenSet.buildDeltaList(
+      empty(frontierSchema).select("url_hash"), cfg.seenPartitions)
+    val compactTick = batchId % cfg.seenCompactEvery.toLong == 0L
+    val (seenAppend, seenReplace) =
+      if (compactTick)
+        (Map.empty[String, DataFrame],
+          Map("seen" -> SeenSet.mergeSegments(
+            seenSegments, deltaSegments, cfg.seenKind, cfg.expectedPerSegment).toDF()))
+      else (Map("seen" -> deltaSegments.toDF()), Map.empty[String, DataFrame])
+    lake.commit(
+      batchId,
+      appends = Map(
+        "frontier" -> empty(frontierSchema),
+        "fetch_log" -> empty(fetchSchema),
+        "extracted" -> empty(enrichedSchema)) ++ seenAppend,
+      replaces = seenReplace)
+    if (cfg.lakeCompactEvery > 0 && batchId % cfg.lakeCompactEvery.toLong == 0L) {
+      lake.bucketed.keys.toSeq.sorted.foreach(lake.compactBucketed)
+      lake.compactTable("extracted")
+    }
+    TickStats(batchId, 0L, 0L, 0L, 0L, 0L)
   }
 
   /** Run `n` ticks; stops early when the crawl is drained. With a host

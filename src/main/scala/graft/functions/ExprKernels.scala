@@ -20,6 +20,18 @@ object ExprKernels {
     new GenericArrayData(out.map(s => UTF8String.fromString(s): AnyRef))
   }
 
+  /** Anchor extraction OR sitemap expansion, routed by a 2 KB content
+    * sniff: a fetched body that is a sitemap (urlset / sitemapindex)
+    * contributes its loc entries — absolute by protocol, so no base
+    * resolution — in document order; anything else goes through the HTML
+    * link kernel. One decode pass either way. */
+  def linksAuto(html: Array[Byte], base: UTF8String): ArrayData =
+    if (graft.operators.SitemapParser.looksLikeSitemap(html))
+      new GenericArrayData(
+        graft.operators.SitemapParser.sitemapLinks(html)
+          .map(s => UTF8String.fromString(s): AnyRef))
+    else links(html, base)
+
   /** (text, data) struct per BlockGraphKernel; map entries keep the
     * reference's insertion order. */
   def extractDocument(html: Array[Byte], blockCap: Int): InternalRow = {

@@ -28,6 +28,23 @@ case class ExtractLinks(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `extract_links_auto(html, base_url)` → array<string>: sitemap loc
+  * entries when the body is a sitemap (2 KB content sniff), DOM-order
+  * anchor hrefs otherwise — the crawl loop's second discovery channel
+  * ([[graft.operators.SitemapParser]], `CrawlConfig.sitemapDiscovery`). */
+case class ExtractLinksAuto(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_links_auto"
+  override protected def nullSafeEval(html: Any, base: Any): Any =
+    ExprKernels.linksAuto(html.asInstanceOf[Array[Byte]], base.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, b) => s"graft.functions.ExprKernels.linksAuto($h, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** `extract_document(html)` → struct<text: string, data: map<string,string>>
   * — the deterministic replacement for the whole Textract hop (Op-14/16-22,
   * `send-textract-result-to-dynamo/lambda.ts:51-200`). */
@@ -107,6 +124,9 @@ object GraftFunctions {
   def extract_links(html: Column, baseUrl: Column): Column =
     ExpressionUtils.column(ExtractLinks(ExpressionUtils.expression(html), ExpressionUtils.expression(baseUrl)))
 
+  def extract_links_auto(html: Column, baseUrl: Column): Column =
+    ExpressionUtils.column(ExtractLinksAuto(ExpressionUtils.expression(html), ExpressionUtils.expression(baseUrl)))
+
   def extract_document(html: Column, blockCap: Int = BlockGraphKernel.BlockCap): Column =
     ExpressionUtils.column(ExtractDocument(ExpressionUtils.expression(html), blockCap))
 
@@ -126,6 +146,7 @@ object GraftFunctions {
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("extract_links", es => ExtractLinks(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("extract_links_auto", es => ExtractLinksAuto(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "extract_document",
       es => ExtractDocument(es.head, BlockGraphKernel.BlockCap), "scala_udf")

@@ -144,6 +144,28 @@ object SitemapParser {
       .toDF("sitemap_url", "loc", "lastmod", "changefreq", "priority", "is_index")
   }
 
+  /** Cheap content sniff over the first 2 KB: is this fetched body a
+    * sitemap? (url-extension hints are unreliable in the wild; the markup
+    * is not). Used by the crawl loop's `extract_links_auto` to route a
+    * page through sitemap parsing instead of anchor extraction. */
+  def looksLikeSitemap(html: Array[Byte]): Boolean = {
+    if (html == null || html.length == 0) false
+    else {
+      val head = new String(
+        html, 0, math.min(html.length, 2048),
+        java.nio.charset.StandardCharsets.UTF_8).toLowerCase
+      head.contains("<urlset") || head.contains("<sitemapindex")
+    }
+  }
+
+  /** The links a sitemap page contributes to discovery, in document order:
+    * line-item locs first, then child sitemaps (an index's children are
+    * themselves crawled, and — being sitemaps — re-expand next tick). */
+  def sitemapLinks(html: Array[Byte]): Array[String] = {
+    val p = parse(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+    (p.urls.view.map(_.loc) ++ p.childSitemaps).toArray
+  }
+
   /** Sitemap line items → crawl seeds (depth 0; the sitemap's lastmod
     * becomes the discovery timestamp when parseable, else `fallbackTs`). */
   def toSeeds(entries: Seq[SitemapUrl], fallbackTs: java.sql.Timestamp): Seq[graft.model.Seed] =

@@ -67,6 +67,25 @@ class RecrawlSpec extends AnyFunSuite {
     assert(onceCounts.length.toLong == N && onceCounts.forall(_ == 1L))
   }
 
+  test("empty-tick fast path: compaction cadence and trajectory unchanged") {
+    // seenCompactEvery=2 makes the EMPTY ticks (2 and 4) compact ticks —
+    // the fast path must still fold delta lists into filter segments, so
+    // the subsequent refetch ticks see the identical seen set
+    val cfg = CrawlConfig(
+      budget = 1000, seenPartitions = 8, expectedPerSegment = 4096,
+      recrawlAfterTicks = 2, seenCompactEvery = 2)
+    val driver = newDriver(cfg)
+    driver.init(allSeeds)
+    val stats = driver.run(5)
+    assert(stats.map(_.scheduled) == Seq(N, 0L, N, 0L, N))
+    val perUrl = driver.fetchLog.select("url_hash", "batch_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    assert(perUrl.size == N && perUrl.values.forall(_ == Vector(1L, 3L, 5L)))
+    // the seen segments were compacted on the empty ticks: no delta-list
+    // accumulation (compaction folds lists into one filter per partition)
+    assert(driver.frontier.count() == N)
+  }
+
   test("bucketed lake: TTL pending plans with zero shuffle exchanges") {
     val cfg = CrawlConfig(
       budget = 1000, seenPartitions = 8, expectedPerSegment = 4096,

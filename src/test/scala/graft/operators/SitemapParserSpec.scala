@@ -71,6 +71,42 @@ class SitemapParserSpec extends AnyFunSuite {
       ("https://example.com/index.xml", "https://example.com/child.xml", true)))
   }
 
+  test("crawl integration: sitemapDiscovery expands index -> urlset -> pages in order") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import graft.crawl.{CrawlConfig, CrawlDriver}
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+    def page(url: String, body: String) =
+      graft.model.Page(url, ts, body.getBytes(UTF_8), "", "en")
+    val idx = "https://host0.example.com/sitemap.xml"
+    val child = "https://host0.example.com/sitemap1.xml"
+    val p1 = "https://host0.example.com/p1"
+    val p2 = "https://host0.example.com/p2"
+    val pages = Seq(
+      page(idx, s"<sitemapindex><sitemap><loc>$child</loc></sitemap></sitemapindex>"),
+      page(child, s"<urlset><url><loc>$p1</loc></url><url><loc>$p2</loc></url></urlset>"),
+      page(p1, "<html><body>alpha</body></html>"),
+      page(p2, "<html><body>bravo</body></html>"))
+    val lake = graft.lake.CrawlLake.forCrawl(
+      java.nio.file.Files.createTempDirectory("graft-lake-sm").toString, spark, buckets = 4)
+    val robots = spark.createDataset(Seq.empty[graft.model.RobotsEntry])
+    val driver = new CrawlDriver(
+      spark, lake, spark.createDataFrame(pages), robots,
+      CrawlConfig(budget = 10, seenPartitions = 4, expectedPerSegment = 1024,
+        sitemapDiscovery = true))
+    driver.init(Seq(graft.model.Seed(idx, 0, ts)))
+    driver.run(4)
+    val byBatch = driver.fetchLog.select("batch_id", "url")
+      .as[(Long, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBatch(1L) == Set(idx))
+    assert(byBatch(2L) == Set(child))
+    assert(byBatch(3L) == Set(p1, p2))
+    // sitemap order is the discovery order (seq_in_page 0, 1)
+    val order = driver.frontier.where(org.apache.spark.sql.functions.col("url").isin(p1, p2))
+      .select("url", "seq_in_page").as[(String, Long)].collect().toMap
+    assert(order(p1) == 0L && order(p2) == 1L)
+  }
+
   test("toSeeds: lastmod date and datetime forms parsed, fallback otherwise") {
     val fallback = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
     val seeds = SitemapParser.toSeeds(
