@@ -239,14 +239,20 @@ final class CrawlDriver(
     // this is the difference between caching gigabytes and caching the
     // corpus. Misses become FAILED lineage rows.
     val schedSide = if (cfg.fetchForceBroadcast) broadcast(scheduled) else scheduled
+    // extract_page fuses document extraction + link/sitemap discovery into
+    // one expression: the fat html column is decoded ONCE per page (the
+    // unfused extract_document + extract_links pair decoded it twice);
+    // codegen subexpression elimination evaluates the struct once for both
+    // projected fields
+    val pageExpr = extract_page(
+      col("html"), col("url"), cfg.blockCap, sitemapAuto = cfg.sitemapDiscovery)
     val processed = pagesKeyed
       .join(schedSide, Seq("url_hash"), "inner")
       .select(
         col("url_hash"), col("url"), col("host"), col("depth"),
         length(col("html")).cast("long").as("bytes"),
-        extract_document(col("html"), cfg.blockCap).as("doc"),
-        (if (cfg.sitemapDiscovery) extract_links_auto(col("html"), col("url"))
-         else extract_links(col("html"), col("url"))).as("links"))
+        pageExpr.getField("doc").as("doc"),
+        pageExpr.getField("links").as("links"))
       .persist(cfg.persistLevel)
     mark("processed")
     val missing = scheduled.join(processed.select("url_hash"), Seq("url_hash"), "left_anti")

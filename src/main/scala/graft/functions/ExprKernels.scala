@@ -34,8 +34,10 @@ object ExprKernels {
 
   /** (text, data) struct per BlockGraphKernel; map entries keep the
     * reference's insertion order. */
-  def extractDocument(html: Array[Byte], blockCap: Int): InternalRow = {
-    val r = BlockGraphKernel.extract(html, blockCap)
+  def extractDocument(html: Array[Byte], blockCap: Int): InternalRow =
+    docRow(BlockGraphKernel.extract(html, blockCap))
+
+  private def docRow(r: BlockGraphKernel.ExtractResult): InternalRow = {
     val keys = new Array[AnyRef](r.data.length)
     val vals = new Array[AnyRef](r.data.length)
     var i = 0
@@ -47,6 +49,23 @@ object ExprKernels {
     new GenericInternalRow(Array[Any](
       UTF8String.fromString(r.text),
       new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))))
+  }
+
+  /** Fused per-page extraction: ONE decode of the fat html column feeds
+    * both the document kernel and link discovery (anchor hrefs, or sitemap
+    * locs when `sitemapAuto` and the body sniffs as a sitemap). Returns
+    * struct(doc struct<text,data>, links array<string>) — bit-identical to
+    * running [[extractDocument]] and [[links]]/[[linksAuto]] separately
+    * (parity-tested), at half the decode cost of the unfused pair. */
+  def extractPage(html: Array[Byte], base: UTF8String, blockCap: Int, sitemapAuto: Boolean): InternalRow = {
+    val s = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+    val doc = docRow(BlockGraphKernel.extractStr(s, blockCap))
+    val linkArr: Array[String] =
+      if (sitemapAuto && graft.operators.SitemapParser.looksLikeSitemapStr(s))
+        graft.operators.SitemapParser.sitemapLinksStr(s)
+      else LinkKernel.extractLinksStr(s, if (base == null) "" else base.toString)
+    new GenericInternalRow(Array[Any](
+      doc, new GenericArrayData(linkArr.map(x => UTF8String.fromString(x): AnyRef))))
   }
 
   def canonicalize(url: UTF8String): UTF8String =

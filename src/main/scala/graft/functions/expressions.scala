@@ -45,6 +45,32 @@ case class ExtractLinksAuto(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `extract_page(html, base_url)` → struct<doc: struct<text,data>,
+  * links: array<string>>: the crawl tick's whole per-page extraction in one
+  * expression with ONE decode of the fat html column (the unfused
+  * extract_document + extract_links pair decodes it twice). `sitemapAuto`
+  * routes sitemap bodies to loc-entry discovery (see [[ExtractLinksAuto]]). */
+case class ExtractPage(left: Expression, right: Expression, blockCap: Int, sitemapAuto: Boolean)
+  extends BinaryExpression {
+  override def dataType: DataType = ExtractPage.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_page"
+  override protected def nullSafeEval(html: Any, base: Any): Any =
+    ExprKernels.extractPage(
+      html.asInstanceOf[Array[Byte]],
+      base.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], blockCap, sitemapAuto)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (h, b) => s"graft.functions.ExprKernels.extractPage($h, $b, $blockCap, $sitemapAuto)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object ExtractPage {
+  lazy val schema: StructType = StructType(Seq(
+    StructField("doc", ExtractDocument.schema, nullable = false),
+    StructField("links", ArrayType(StringType, containsNull = false), nullable = false)))
+}
+
 /** `extract_document(html)` → struct<text: string, data: map<string,string>>
   * — the deterministic replacement for the whole Textract hop (Op-14/16-22,
   * `send-textract-result-to-dynamo/lambda.ts:51-200`). */
@@ -126,6 +152,12 @@ object GraftFunctions {
 
   def extract_links_auto(html: Column, baseUrl: Column): Column =
     ExpressionUtils.column(ExtractLinksAuto(ExpressionUtils.expression(html), ExpressionUtils.expression(baseUrl)))
+
+  def extract_page(
+      html: Column, baseUrl: Column,
+      blockCap: Int = BlockGraphKernel.BlockCap, sitemapAuto: Boolean = false): Column =
+    ExpressionUtils.column(ExtractPage(
+      ExpressionUtils.expression(html), ExpressionUtils.expression(baseUrl), blockCap, sitemapAuto))
 
   def extract_document(html: Column, blockCap: Int = BlockGraphKernel.BlockCap): Column =
     ExpressionUtils.column(ExtractDocument(ExpressionUtils.expression(html), blockCap))

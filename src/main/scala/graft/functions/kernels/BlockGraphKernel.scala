@@ -62,13 +62,17 @@ object BlockGraphKernel {
 
   /** Full extraction over page bytes: document text + sanitized KV map. */
   def extract(html: Array[Byte], blockCap: Int = BlockCap): ExtractResult = {
-    if (html == null) return Empty
-    val payload = findPayload(new String(html, StandardCharsets.UTF_8))
-    payload match {
+    if (html == null) Empty
+    else extractStr(new String(html, StandardCharsets.UTF_8), blockCap)
+  }
+
+  /** Same, over an already-decoded body — lets the fused page expression
+    * ([[graft.functions.ExtractPage]]) decode the fat html column once. */
+  def extractStr(html: String, blockCap: Int = BlockCap): ExtractResult =
+    findPayload(html) match {
       case None       => Empty
       case Some(json) => extractFromJson(json, blockCap)
     }
-  }
 
   def findPayload(html: String): Option[String] = {
     val start = html.indexOf(PayloadOpen)

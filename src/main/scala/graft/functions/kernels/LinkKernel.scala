@@ -22,9 +22,12 @@ object LinkKernel {
     */
   def extractLinks(html: Array[Byte], baseUrl: String): Array[String] = {
     if (html == null) return Array.empty
-    extractHrefs(new String(html, StandardCharsets.UTF_8))
-      .map(h => UrlCanonicalizer.resolve(baseUrl, h))
+    extractLinksStr(new String(html, StandardCharsets.UTF_8), baseUrl)
   }
+
+  /** Same, over an already-decoded body (one-decode fused path). */
+  def extractLinksStr(html: String, baseUrl: String): Array[String] =
+    extractHrefs(html).map(h => UrlCanonicalizer.resolve(baseUrl, h))
 
   /** Raw href attribute values of anchor tags, document order, unresolved.
     * A linear scanner (not a full HTML parser): finds `<a` tag openings,

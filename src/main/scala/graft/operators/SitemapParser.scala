@@ -150,19 +150,24 @@ object SitemapParser {
     * page through sitemap parsing instead of anchor extraction. */
   def looksLikeSitemap(html: Array[Byte]): Boolean = {
     if (html == null || html.length == 0) false
-    else {
-      val head = new String(
-        html, 0, math.min(html.length, 2048),
-        java.nio.charset.StandardCharsets.UTF_8).toLowerCase
-      head.contains("<urlset") || head.contains("<sitemapindex")
-    }
+    else looksLikeSitemapStr(new String(
+      html, 0, math.min(html.length, 2048), java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def looksLikeSitemapStr(body: String): Boolean = {
+    val head =
+      (if (body.length > 2048) body.substring(0, 2048) else body).toLowerCase
+    head.contains("<urlset") || head.contains("<sitemapindex")
   }
 
   /** The links a sitemap page contributes to discovery, in document order:
     * line-item locs first, then child sitemaps (an index's children are
     * themselves crawled, and — being sitemaps — re-expand next tick). */
-  def sitemapLinks(html: Array[Byte]): Array[String] = {
-    val p = parse(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+  def sitemapLinks(html: Array[Byte]): Array[String] =
+    sitemapLinksStr(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+
+  def sitemapLinksStr(body: String): Array[String] = {
+    val p = parse(body)
     (p.urls.view.map(_.loc) ++ p.childSitemaps).toArray
   }
 

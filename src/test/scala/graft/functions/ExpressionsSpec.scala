@@ -28,6 +28,30 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("extract_page == (extract_document, extract_links) on every page; sitemap auto routes") {
+    val fused = pagesDf
+      .select($"url", extract_page($"html", $"url").as("p"))
+      .select($"url", $"p.doc.text".as("t"), $"p.links".as("links"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getSeq[String](2).toVector)).toMap
+    val unfused = pagesDf
+      .select($"url", extract_document($"html").as("d"), extract_links($"html", $"url").as("links"))
+      .select($"url", $"d.text".as("t"), $"links")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getSeq[String](2).toVector)).toMap
+    assert(fused == unfused)
+
+    // sitemapAuto: a sitemap body yields its locs; a normal page is unchanged
+    val sm = "<urlset><url><loc>https://e.com/a</loc></url><url><loc>https://e.com/b</loc></url></urlset>"
+    val mixed = Seq(
+      ("https://e.com/sitemap.xml", sm.getBytes("UTF-8")),
+      (corpus.head.page.url, corpus.head.page.html)).toDF("url", "html")
+    val auto = mixed
+      .select($"url", extract_page($"html", $"url", sitemapAuto = true).as("p"))
+      .select($"url", $"p.links".as("links"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(auto("https://e.com/sitemap.xml") == Vector("https://e.com/a", "https://e.com/b"))
+    assert(auto(corpus.head.page.url) == corpus.head.links)
+  }
+
   test("extract_document yields byte-identical text + ordered map") {
     val got = pagesDf
       .select($"url", extract_document($"html").as("doc"))
