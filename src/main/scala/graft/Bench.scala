@@ -25,6 +25,12 @@ object Bench {
       // realistic broadcast budget for the AQE-gated fetch join (see
       // ScaleBench.makeSession for the rationale)
       .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+      // AQE's default 1MB coalesce floor collapses the crawl's CPU-dense
+      // small shuffles (candidate dedup agg: ~2MB bytes, ~10us/row) to 1-2
+      // tasks, serializing ~3s of per-tick work; a 64k floor keeps them at
+      // the parallelism the CPU cost wants while still coalescing true
+      // slivers
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

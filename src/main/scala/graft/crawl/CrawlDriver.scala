@@ -60,6 +60,12 @@ final case class CrawlConfig(
       * scrape every `rate(720 minutes)` (see [[graft.operators.Recrawl]]).
       * The TTL view preserves the zero-exchange bucketed PENDING plan. */
     recrawlAfterTicks: Int = 0,
+    /** max total seen-segment bytes the per-tick probe will broadcast;
+      * while the seen set fits (any crawl below ~10^9 frontier URLs at
+      * default geometry) the probe is a scan-side codegen expression with
+      * ZERO shuffle; beyond it the segment-partitioned cogroup probe runs
+      * (see [[graft.seen.SeenSet.filterNew]]). */
+    seenBroadcastMaxBytes: Long = SeenSet.DefaultBroadcastMaxBytes,
     /** fold seen-set delta lists into the Bloom/cuckoo segments every K
       * ticks. Between compactions a tick appends exact sorted-hash delta
       * segments (bytes ∝ admitted URLs, not P × filter size); the probe
@@ -328,7 +334,8 @@ final class CrawlDriver(
     // contains the frontier scan (exact confirm), which the frontier INSERT
     // would invalidate mid-commit.
     val freshPlan = SeenSet
-      .filterNewFiltered(batchDedup, seenSegments, frontier.select("url_hash"), cfg.seenPartitions)
+      .filterNew(batchDedup, seenSegments, frontier.select("url_hash"), cfg.seenPartitions,
+        cfg.seenBroadcastMaxBytes)
       .toDF()
     mark("freshPlan")
     val fresh = freshPlan.localCheckpoint(false)

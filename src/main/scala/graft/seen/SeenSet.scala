@@ -50,6 +50,66 @@ object SeenSet {
       .as[FrontierEntry]
   }
 
+  /** Max total segment bytes [[filterNew]] will broadcast; above this the
+    * cogroup probe runs instead. 256 MB matches the engine's fetch-join
+    * broadcast budget — at the 10^10-URL design point (P=4096, ~4.4 MB
+    * Bloom segments ≈ 18 GB) the gate always routes to the cogroup. */
+  val DefaultBroadcastMaxBytes: Long = 256L << 20
+
+  /** Size-gated probe dispatch: while the seen set's total segment bytes fit
+    * a broadcast (true for any crawl until the frontier reaches ~10^9 URLs
+    * at default geometry), probe scan-side via [[SeenSegments.seen_probe]] —
+    * ZERO shuffle, no typed-object cogroup, and the candidate stream never
+    * leaves whole-stage codegen. Beyond the gate, fall back to the cogrouped
+    * probe ([[filterNewFiltered]]), whose shape is segment-partitioned and
+    * scales with P, not with total segment bytes. Both paths feed the same
+    * single conditioned anti-join, so semantics are identical (spec-asserted
+    * against [[filterNewExact]]).
+    */
+  def filterNew(
+      candidates: Dataset[FrontierEntry],
+      segments: Dataset[Segment],
+      seenHashes: DataFrame,
+      p: Int = DefaultPartitions,
+      broadcastMaxBytes: Long = DefaultBroadcastMaxBytes): Dataset[FrontierEntry] = {
+    val totalBytes = segments
+      .agg(coalesce(sum(length(col("segment"))), lit(0L)).cast("long"))
+      .head().getLong(0)
+    if (totalBytes <= broadcastMaxBytes)
+      filterNewBroadcast(candidates, segments.collect(), seenHashes, p)
+    else filterNewFiltered(candidates, segments, seenHashes, p)
+  }
+
+  /** Broadcast-probe path of [[filterNew]]: `segs` (already collected —
+    * caller gates on size) are grouped by partition_id, broadcast once, and
+    * probed per candidate row by a codegen'd expression. Same
+    * probe-OR-then-exact-confirm semantics as the cogroup path. */
+  def filterNewBroadcast(
+      candidates: Dataset[FrontierEntry],
+      segs: Array[Segment],
+      seenHashes: DataFrame,
+      p: Int = DefaultPartitions): Dataset[FrontierEntry] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val grouped: Array[Array[Array[Byte]]] = {
+      val tmp = Array.fill(p)(List.empty[Array[Byte]])
+      segs.foreach { s =>
+        require(s.partition_id >= 0 && s.partition_id < p,
+          s"segment partition_id ${s.partition_id} out of range for P=$p")
+        tmp(s.partition_id) = s.segment :: tmp(s.partition_id)
+      }
+      tmp.map(_.reverse.toArray)
+    }
+    val bc = spark.sparkContext.broadcast(grouped)
+    val probedDf = candidates.toDF()
+      .withColumn("maybe", SeenSegments.seen_probe(col("url_hash"), bc, p))
+    val seenKeys = seenHashes.select(col("url_hash").as("seen_hash"))
+    probedDf
+      .join(seenKeys, probedDf("url_hash") === seenKeys("seen_hash") && col("maybe"), "left_anti")
+      .drop("maybe")
+      .as[FrontierEntry]
+  }
+
   /** Approximate-filter pre-screen + exact confirm (see object doc). */
   def filterNewFiltered(
       candidates: Dataset[FrontierEntry],

@@ -131,6 +131,54 @@ case class FilterMightContain(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `seen_probe(url_hash)` — scan-side probe of the WHOLE partitioned seen
+  * set against a broadcast of its segments (pid → segment blobs, probes
+  * OR'd). This is the small-seen-set fast path of [[SeenSet.filterNew]]:
+  * zero shuffle, evaluated inside whole-stage codegen via a reference call
+  * (`addReferenceObj`), with the segment blobs deserialized into probe
+  * closures once per task via the transient lazy val. The cogroup path
+  * ([[SeenSet.filterNewFiltered]]) remains the big-frontier fallback where
+  * the segment set itself outgrows a broadcast.
+  */
+case class SeenProbeBroadcast(
+    child: Expression,
+    segments: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Byte]]]],
+    p: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "seen_probe"
+
+  @transient private lazy val probes: Array[Array[Long => Boolean]] =
+    segments.value.map(_.map(SeenSegments.probeFn))
+
+  /** Called from generated code; must stay public. */
+  def probe(h: Long): Boolean = {
+    val ps = probes(math.floorMod(h, p.toLong).toInt)
+    var i = 0
+    while (i < ps.length) {
+      if (ps(i)(h)) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def nullSafeEval(h: Any): Any = probe(h.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("seenProbe", this, classOf[SeenProbeBroadcast].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object SeenSegments {
   private def magicOf(bytes: Array[Byte]): Int = {
     require(bytes.length >= 4, "empty segment blob")
@@ -342,4 +390,10 @@ object SeenSegments {
   def filter_might_contain(segment: Column, urlHash: Column): Column =
     ExpressionUtils.column(
       FilterMightContain(ExpressionUtils.expression(segment), ExpressionUtils.expression(urlHash)))
+
+  def seen_probe(
+      urlHash: Column,
+      segments: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Byte]]]],
+      p: Int): Column =
+    ExpressionUtils.column(SeenProbeBroadcast(ExpressionUtils.expression(urlHash), segments, p))
 }

@@ -55,6 +55,12 @@ object ScaleBench {
       // sort-merge join and shuffle the 17 GB pages side every tick.
       // Batches past this still degrade gracefully to SMJ.
       .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+      // AQE's default 1MB coalesce floor collapses the crawl's CPU-dense
+      // small shuffles (candidate dedup agg: ~2MB bytes, ~10us/row) to 1-2
+      // tasks, serializing ~3s of per-tick work; a 64k floor keeps them at
+      // the parallelism the CPU cost wants while still coalescing true
+      // slivers
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       // cache/shuffle spill on tmpfs: the measured job is the engine, not
       // this sandbox's ext4 writeback variance
       .config("spark.local.dir", "/dev/shm/spark-local")

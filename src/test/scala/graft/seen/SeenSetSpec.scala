@@ -153,6 +153,39 @@ class SeenSetSpec extends AnyFunSuite {
     assert(filtered.toSeq == exact.toSeq)
   }
 
+  test("broadcast probe path ≡ exact ≡ cogroup path (mixed filter + list segments)") {
+    val p = 8
+    val seenDf = seenHashes.toDF("url_hash")
+    // mixed stack: filters over the first 2000, exact delta lists over the rest
+    val segments = SeenSet.buildDeltaSegments(seenHashes.take(2000).toDF("url_hash"), p, expectedPerSegment = 1024)
+      .union(SeenSet.buildDeltaList(seenHashes.drop(2000).toDF("url_hash"), p))
+    val candidates = spark.createDataset((seenHashes.take(300) ++ newHashes).map(fe))
+    val exact = SeenSet.filterNewExact(candidates, seenDf).collect().map(_.url_hash).sorted
+    val viaBroadcast = SeenSet
+      .filterNewBroadcast(candidates, segments.collect(), seenDf, p)
+      .collect().map(_.url_hash).sorted
+    val viaCogroup = SeenSet
+      .filterNewFiltered(candidates, segments, seenDf, p)
+      .collect().map(_.url_hash).sorted
+    assert(viaBroadcast.toSeq == exact.toSeq)
+    assert(viaCogroup.toSeq == exact.toSeq)
+  }
+
+  test("filterNew dispatch: small seen set broadcasts (zero cogroup), huge gate falls back") {
+    val p = 4
+    val seenDf = seenHashes.toDF("url_hash")
+    val segments = SeenSet.buildDeltaSegments(seenDf, p, expectedPerSegment = 1024)
+    val candidates = spark.createDataset((seenHashes.take(100) ++ newHashes.take(100)).map(fe))
+    val broadcastPlan = SeenSet.filterNew(candidates, segments, seenDf, p)
+    assert(broadcastPlan.queryExecution.analyzed.toString.contains("seen_probe"),
+      "small seen set should take the broadcast scan-side probe")
+    assert(broadcastPlan.collect().map(_.url_hash).sorted.toSeq == newHashes.take(100).sorted.toSeq)
+    val cogroupPlan = SeenSet.filterNew(candidates, segments, seenDf, p, broadcastMaxBytes = 0L)
+    assert(!cogroupPlan.queryExecution.analyzed.toString.contains("seen_probe"),
+      "over-gate seen set must fall back to the cogroup probe")
+    assert(cogroupPlan.collect().map(_.url_hash).sorted.toSeq == newHashes.take(100).sorted.toSeq)
+  }
+
   test("cuckoo segments work through the same path") {
     val p = 4
     val seenDf = seenHashes.toDF("url_hash")
