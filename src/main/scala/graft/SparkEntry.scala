@@ -262,7 +262,21 @@ object SparkEntry {
         t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
         t(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"), col("l_shipdate")),
         key = "o_orderkey", tsCol = "l_shipdate",
-        horizon = lit("1996-01-01").cast("timestamp"))))
+        horizon = lit("1996-01-01").cast("timestamp"))),
+
+    // last-write-wins current view (operators.LatestView, the reference's
+    // put-overwrite results-sink semantics): per order, the lineitem row of
+    // the LATEST shipment — arg-max by a fully-ordering (ts, seq) key
+    "q30_latest_extracted" -> ((s, dir) =>
+      graft.operators.LatestView.latestByKey(
+        t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          col("l_quantity").cast("double").as("qty")),
+        key = "l_orderkey",
+        // qty joins the tie-break: the synthetic lineitem carries duplicate
+        // (orderkey, linenumber, shipdate) rows, so (ts, seq) alone is not
+        // a total order here (any remaining tie is a full-row duplicate)
+        ord = struct(col("l_shipdate"), col("l_linenumber"), col("qty")))))
 
   // --- oracle SQL (DuckDB dialect of the same queries; aliases match) ---
 
@@ -381,6 +395,14 @@ object SparkEntry {
         |LEFT JOIN (SELECT l_orderkey, max(l_shipdate) AS last_fetch
         |           FROM lineitem GROUP BY 1) f ON o.o_orderkey = f.l_orderkey
         |WHERE last_fetch IS NULL OR last_fetch < TIMESTAMP '1996-01-01'""".stripMargin,
+    "q30_latest_extracted" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, qty FROM (
+        |  SELECT l_orderkey, l_linenumber, l_shipdate,
+        |         CAST(l_quantity AS DOUBLE) AS qty,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_shipdate DESC, l_linenumber DESC,
+        |                                     CAST(l_quantity AS DOUBLE) DESC) AS rn
+        |  FROM lineitem) WHERE rn = 1""".stripMargin,
     "q24_ann_quantized_topk" ->
       """WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
         |q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 3),

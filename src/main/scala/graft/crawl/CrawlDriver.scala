@@ -157,6 +157,15 @@ final class CrawlDriver(
   def fetchLog: DataFrame = lake.read("fetch_log", fetchSchema)
   def extracted: DataFrame = lake.read("extracted", extractedSchema)
 
+  /** The CURRENT extraction per url_hash — put-overwrite parity with the
+    * reference's results sink (overwrite by JobId,
+    * `send-textract-result-to-dynamo/lambda.ts:207-223`). `extracted` itself
+    * is append-only lineage; under a re-crawl TTL it holds one row per
+    * (url_hash, fetch batch), and THIS view is what result consumers join
+    * (exactly one row per url_hash, the latest batch's — spec-asserted). */
+  def latestExtracted: DataFrame =
+    graft.operators.LatestView.latestByKey(extracted, "url_hash", col("batch_id"))
+
   /** The tick's PENDING view — derived state, never mutated (state model
     * above). Exposed so specs can assert the co-partitioned plan; runBatch
     * uses exactly this frame. */

@@ -86,6 +86,32 @@ class RecrawlSpec extends AnyFunSuite {
     assert(driver.frontier.count() == N)
   }
 
+  test("latestExtracted: exactly one CURRENT row per url under the re-crawl TTL") {
+    val cfg = CrawlConfig(
+      budget = 1000, seenPartitions = 8, expectedPerSegment = 4096,
+      recrawlAfterTicks = 2)
+    val driver = newDriver(cfg)
+    driver.init(allSeeds)
+    driver.run(5) // every url fetched at batches 1, 3, 5
+
+    // append-only lineage keeps every fetch...
+    val lineageCounts = driver.extracted.groupBy("url_hash").count()
+      .select("count").as[Long].collect()
+    assert(lineageCounts.length.toLong == N && lineageCounts.forall(_ == 3L),
+      "extracted lineage should hold one row per (url, fetch)")
+    // ...while the current view is put-overwrite (reference T2 semantics):
+    // one row per url_hash, from the LATEST batch
+    val latest = driver.latestExtracted
+      .select("url_hash", "batch_id").as[(Long, Long)].collect()
+    assert(latest.length.toLong == N, "latestExtracted must be one row per url")
+    assert(latest.forall(_._2 == 5L), "current view must come from the last fetch batch")
+    // and its payload is byte-identical to the last batch's extraction
+    val lastBatch = driver.extracted.where(col("batch_id") === 5L)
+      .select("url_hash", "extracted_text").as[(Long, String)].collect().toMap
+    driver.latestExtracted.select("url_hash", "extracted_text").as[(Long, String)]
+      .collect().foreach { case (h, txt) => assert(lastBatch(h) == txt) }
+  }
+
   test("bucketed lake: TTL pending plans with zero shuffle exchanges") {
     val cfg = CrawlConfig(
       budget = 1000, seenPartitions = 8, expectedPerSegment = 4096,
