@@ -159,9 +159,15 @@ object SparkEntry {
         (col("doc_id") + 1000000L).as("doc_id"), col("text")))
       val fps = doubled.select(
         col("doc_id"), TextHashFunctions.doc_fingerprint(col("text")).as("fp"))
+      // ALL collision pairs, not just the planted twins: fingerprint
+      // equality must coincide exactly with normalized-text equality over
+      // this corpus (the oracle computes the right-hand side in SQL), so a
+      // degenerate hash — constant, truncated, or normalization drift —
+      // changes the row set and fails the driver check (round-3 advisor:
+      // the twins-only filter passed under a constant fingerprint)
       fps.select(col("doc_id").as("id_a"), col("fp"))
         .join(fps.select(col("doc_id").as("id_b"), col("fp")), Seq("fp"))
-        .where(col("id_b") === col("id_a") + 1000000L)
+        .where(col("id_a") < col("id_b"))
         .select("id_a", "id_b")
     }),
 
@@ -254,6 +260,28 @@ object SparkEntry {
         .select("query_id", "nbr_id")
     }),
 
+    // full-rank regression guards for the approximate ANN paths (round-3
+    // advisor: the planted-twin oracles stopped exercising ranks 2..k in
+    // the driver's cross-engine run). numBits=0 → one bucket → lshTopK is
+    // provably exhaustive, so its ENTIRE top-5 (bucketing, cosine kernel,
+    // window, tie-break) must equal the exact brute-force oracle; the
+    // twin queries above keep covering the real bucketed recall path
+    "q32_ann_lsh_fullrank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 3), k = 5, numBits = 0)
+        .select("query_id", "nbr_id", "rank")
+    }),
+
+    // nProbe = nCentroids probes every inverted list, so IVF (training,
+    // assignment, probe ranking) degenerates to exact search and its full
+    // top-5 must equal the brute-force oracle
+    "q33_ann_ivf_fullrank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 3),
+        k = 5, nCentroids = 4, nProbe = 4, trainModulo = 4)
+        .select("query_id", "nbr_id", "rank")
+    }),
+
     // re-crawl TTL (revisit policy, operators.Recrawl): frontier = orders,
     // fetch lineage = lineitem (l_shipdate as fetch ts) — pending under a
     // freshness horizon = never fetched OR last fetch older than the horizon
@@ -276,9 +304,41 @@ object SparkEntry {
         // qty joins the tie-break: the synthetic lineitem carries duplicate
         // (orderkey, linenumber, shipdate) rows, so (ts, seq) alone is not
         // a total order here (any remaining tie is a full-row duplicate)
-        ord = struct(col("l_shipdate"), col("l_linenumber"), col("qty")))))
+        ord = struct(col("l_shipdate"), col("l_linenumber"), col("qty")))),
+
+    // bounded fetch retry (operators.Retry): frontier = orders, fetch
+    // lineage = lineitem (l_linenumber as tick, quantity<25 as success) —
+    // pending = never fetched, or failures-since-last-success below the
+    // budget, with TTL re-age of both successes and exhausted failures
+    "q31_bounded_retry" -> ((s, dir) =>
+      graft.operators.Retry.pendingWithRetry(
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
+        t(s, dir, "lineitem").select(
+          col("l_orderkey").as("o_orderkey"),
+          col("l_linenumber").cast("long").as("fetch_batch"),
+          when(col("l_quantity") < 25, 200).otherwise(404).as("status")),
+        key = "o_orderkey", batchCol = "fetch_batch", statusCol = "status",
+        maxAttempts = 2, horizon = Some(lit(3L)))))
 
   // --- oracle SQL (DuckDB dialect of the same queries; aliases match) ---
+
+  /** Exact cosine top-5 per query — the oracle for the brute-force query
+    * AND for the exhaustive-mode approximate paths (q32/q33), which must
+    * reproduce it bit-for-bit. */
+  private val annExactTop5Sql: String =
+    """WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 3),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS nbr_id,
+      |    list_sum(list_transform(list_zip(c.embedding, q.query_vec),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(q.query_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+      |  FROM corpus c, q WHERE c.vec_id <> q.query_id)
+      |SELECT query_id, nbr_id, rank FROM (
+      |  SELECT query_id, nbr_id,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
+      |  FROM scored) WHERE rank <= 5""".stripMargin
 
   private val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
@@ -368,24 +428,19 @@ object SparkEntry {
       "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents",
     "q23_ngram_jaccard_dedup" ->
       "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents WHERE doc_id % 100 = 0",
-    "q25_ann_bruteforce_cosine" ->
-      """WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 3),
-        |scored AS (
-        |  SELECT q.query_id, c.vec_id AS nbr_id,
-        |    list_sum(list_transform(list_zip(c.embedding, q.query_vec),
-        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |     * sqrt(list_sum(list_transform(q.query_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
-        |  FROM corpus c, q WHERE c.vec_id <> q.query_id)
-        |SELECT query_id, nbr_id, rank FROM (
-        |  SELECT query_id, nbr_id,
-        |         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nbr_id) AS rank
-        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    "q25_ann_bruteforce_cosine" -> annExactTop5Sql,
+    // the exhaustive-mode approximate paths must reproduce the exact top-5
+    "q32_ann_lsh_fullrank" -> annExactTop5Sql,
+    "q33_ann_ivf_fullrank" -> annExactTop5Sql,
     "q27_cosine_neardups" ->
       "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
     "q20_fingerprint_rolling" ->
-      "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM documents",
+      s"""WITH d AS (
+        |  SELECT doc_id, $normSql AS nt FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, $normSql FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM d a JOIN d b ON a.nt = b.nt AND a.doc_id < b.doc_id""".stripMargin,
     "q26_ann_lsh" ->
       "SELECT vec_id AS query_id, vec_id + 1000000 AS nbr_id FROM embeddings WHERE vec_id < 3",
     "q28_ann_ivf" ->
@@ -403,6 +458,21 @@ object SparkEntry {
         |                            ORDER BY l_shipdate DESC, l_linenumber DESC,
         |                                     CAST(l_quantity AS DOUBLE) DESC) AS rn
         |  FROM lineitem) WHERE rn = 1""".stripMargin,
+    "q31_bounded_retry" ->
+      """WITH log AS (
+        |  SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS b,
+        |         CASE WHEN l_quantity < 25 THEN 200 ELSE 404 END AS status
+        |  FROM lineitem),
+        |succ AS (SELECT k, max(b) AS last_success FROM log WHERE status = 200 GROUP BY 1),
+        |stats AS (
+        |  SELECT log.k, max(b) AS last_fetch, max(last_success) AS last_success,
+        |         count(CASE WHEN status <> 200
+        |                     AND b > coalesce(last_success, -9223372036854775807) THEN 1 END) AS fails_since
+        |  FROM log LEFT JOIN succ ON log.k = succ.k GROUP BY log.k)
+        |SELECT o_orderkey, o_orderstatus FROM orders LEFT JOIN stats ON o_orderkey = stats.k
+        |WHERE last_fetch IS NULL
+        |   OR ((last_success IS NULL OR last_success < 3)
+        |       AND (fails_since < 2 OR last_fetch < 3))""".stripMargin,
     "q24_ann_quantized_topk" ->
       """WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
         |q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 3),

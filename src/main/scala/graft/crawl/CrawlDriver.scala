@@ -54,6 +54,13 @@ final case class CrawlConfig(
       * hrefs; an index's child sitemaps are crawled and re-expand next
       * tick. Off = reference parity (anchor extraction only). */
     sitemapDiscovery: Boolean = false,
+    /** bounded retry budget for FAILED fetches (1 = crawl-once parity: one
+      * attempt, a failure permanently leaves PENDING until a TTL re-age).
+      * With N > 1 a url's failures re-enter PENDING until N attempts since
+      * the last success are exhausted; exhausted urls re-age under the
+      * re-crawl TTL like any fetch (see [[graft.operators.Retry]] — derived
+      * from fetch_log, no new state, resume-exact). */
+    maxAttempts: Int = 1,
     /** re-crawl TTL in ticks (0 = crawl-once, reference parity): a page
       * fetched at batch b becomes PENDING again at batch b + K, the
       * Spark-native generalization of the reference re-running its whole
@@ -177,7 +184,15 @@ final class CrawlDriver(
     * exactly K ticks). Crawl-once (`recrawlAfterTicks = 0`) keeps the
     * anti-join plan — the aggregate-free shape matters at 10^10 rows. */
   def pendingAt(batchId: Long): DataFrame =
-    if (cfg.recrawlAfterTicks <= 0) pending
+    if (cfg.maxAttempts > 1)
+      graft.operators.Retry.pendingWithRetry(
+        frontier, fetchLog.select("url_hash", "batch_id", "status"),
+        key = "url_hash", batchCol = "batch_id", statusCol = "status",
+        maxAttempts = cfg.maxAttempts,
+        horizon =
+          if (cfg.recrawlAfterTicks <= 0) None
+          else Some(lit(batchId - cfg.recrawlAfterTicks + 1)))
+    else if (cfg.recrawlAfterTicks <= 0) pending
     else graft.operators.Recrawl.pendingWithTtl(
       frontier, fetchLog.select("url_hash", "batch_id"),
       key = "url_hash", tsCol = "batch_id",

@@ -20,29 +20,40 @@ import org.apache.spark.sql.types._
   */
 object VecKernels {
 
-  /** Σ a(i)·b(i) in double, left-to-right (the HOF accumulation order). */
-  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Σ a(i)·b(i) in double, left-to-right (the HOF accumulation order).
+    * Returns null — NOT a partial sum — for length-mismatched arrays and
+    * for null elements, matching the `zip_with`+`aggregate` HOF semantics
+    * exactly (zip_with null-pads the shorter side, a null product poisons
+    * the sum): a ragged or corrupted embedding must surface as a visible
+    * null, never as a plausible similarity silently used in ANN ranking
+    * (round-3 advisor). */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       s += x * y
       i += 1
     }
-    s
+    java.lang.Double.valueOf(s)
   }
 
   /** dot(a,b) / (√dot(a,a) · √dot(b,b)) — one pass over both arrays;
-    * 0-norm inputs yield NaN exactly like the composed-HOF form did. */
-  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    * 0-norm inputs yield NaN exactly like the composed-HOF form did; null
+    * for ragged/null-element inputs (same contract as [[dot]]). */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var d = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       d += x * y
@@ -50,13 +61,14 @@ object VecKernels {
       nb += y * y
       i += 1
     }
-    d / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(d / (math.sqrt(na) * math.sqrt(nb)))
   }
 }
 
 private[ml] trait VecBinary extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true // ragged/null-element inputs -> null
   protected def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
@@ -72,8 +84,11 @@ case class VecDot(left: Expression, right: Expression) extends VecBinary {
     VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       elemIsFloat(left), elemIsFloat(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.ml.VecKernels.dot($a, $b, ${elemIsFloat(left)}, ${elemIsFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r =
+        graft.ml.VecKernels.dot($a, $b, ${elemIsFloat(left)}, ${elemIsFloat(right)});
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -85,8 +100,11 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinary {
     VecKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
       elemIsFloat(left), elemIsFloat(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.ml.VecKernels.cosine($a, $b, ${elemIsFloat(left)}, ${elemIsFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r =
+        graft.ml.VecKernels.cosine($a, $b, ${elemIsFloat(left)}, ${elemIsFloat(right)});
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -24,11 +24,11 @@ import graft.model.{RobotsEntry, RobotsRule}
   *    only when no named group matches (RFC 9309 §2.2.1);
   *  - an empty `Disallow:` (or `Allow:`) value is a no-op — historical
   *    "allow everything" form;
-  *  - path patterns: [[RobotsMatcher]] is longest-PREFIX-match, so a `*`
-  *    wildcard truncates the pattern at the first `*` and a trailing `$`
-  *    anchor is dropped — a documented superset simplification (the
-  *    truncated prefix matches everything the original pattern matched,
-  *    plus possibly more);
+  *  - path patterns pass through VERBATIM: [[RobotsMatcher]] implements
+  *    full REP `*`/`$` matching (the earlier truncate-at-`*` superset
+  *    simplification was safe for Disallow but unsafe for Allow — a
+  *    broadened Allow wins ties over the Disallow it was scoped under;
+  *    round-3 advisor);
   *  - `Crawl-delay` is nonstandard but widely served: parsed as seconds,
   *    last valid value in the winning groups wins, 0 when absent (0 means
   *    "no delay floor" to [[Politeness.schedule]]).
@@ -94,16 +94,10 @@ object RobotsParser {
     groups.toSeq
   }
 
-  /** None for the empty-value no-op; otherwise the longest-prefix-matcher
-    * form of the pattern (truncated at the first `*`, `$` anchor dropped —
-    * see object doc). `"*"` becomes the match-everything prefix `""`. */
-  private def normalizePattern(v: String): Option[String] = {
-    if (v.isEmpty) None
-    else {
-      val star = v.indexOf('*')
-      Some(if (star >= 0) v.substring(0, star) else v.stripSuffix("$"))
-    }
-  }
+  /** None for the empty-value no-op; otherwise the pattern verbatim —
+    * [[RobotsMatcher.matches]] evaluates `*`/`$` natively (see object doc). */
+  private def normalizePattern(v: String): Option[String] =
+    if (v.isEmpty) None else Some(v)
 
   /** Spark stage over a fetched-robots corpus: (host string, body string)
     * → one [[RobotsEntry]] per input row, ready to broadcast through
