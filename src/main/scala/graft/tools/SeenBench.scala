@@ -68,8 +68,11 @@ object SeenBench {
     //    probe + exact confirm against the full key set
     val candidates = spark.range(0L, nCand, 1L, cpus.toInt)
       .select(
-        when(col("id") % 2 === 0, xxhash64(col("id") / 2))           // seen
-          .otherwise(xxhash64(col("id") + nKeys * 7 + 1)).as("h"))   // new
+        // NB: `/` on longs is DOUBLE division in Spark SQL and xxhash64 is
+        // type-sensitive — shiftright keeps the long type so even ids hash
+        // to genuinely-seen keys
+        when(col("id") % 2 === 0, xxhash64(shiftright(col("id"), 1)))  // seen
+          .otherwise(xxhash64(col("id") + nKeys * 7 + 1)).as("h"))     // new
       .map(r => FrontierEntry(r.getLong(0), "u", "h", 0, new java.sql.Timestamp(0L), 0L, 0L, 0.0))
     val segments = spark.table("seen_segments").as[SeenSet.Segment]
     val (admitted, tProbe) = time {
