@@ -438,7 +438,7 @@ final class CrawlDriver(
 
     if (cfg.lakeCompactEvery > 0 && batchId % cfg.lakeCompactEvery.toLong == 0L) {
       lake.bucketed.keys.toSeq.sorted.foreach(lake.compactBucketed)
-      lake.compactTable("extracted")
+      if (!lake.bucketed.contains("extracted")) lake.compactTable("extracted")
     }
     stats
   }
@@ -465,7 +465,7 @@ final class CrawlDriver(
     lake.commit(batchId, appends = Map.empty, replaces = seenReplace)
     if (cfg.lakeCompactEvery > 0 && batchId % cfg.lakeCompactEvery.toLong == 0L) {
       lake.bucketed.keys.toSeq.sorted.foreach(lake.compactBucketed)
-      lake.compactTable("extracted")
+      if (!lake.bucketed.contains("extracted")) lake.compactTable("extracted")
     }
     TickStats(batchId, 0L, 0L, 0L, 0L, 0L)
   }

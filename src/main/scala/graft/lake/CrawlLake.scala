@@ -407,17 +407,35 @@ object CrawlLake {
 
   def apply(root: String, spark: SparkSession): CrawlLake = new CrawlLake(root, spark)
 
-  /** The crawl engine's production layout: frontier and fetch_log bucketed
-    * by url_hash so the per-tick PENDING anti-join (frontier ∖ fetch_log)
-    * and the seen-set exact-confirm join are co-partitioned — no Exchange
-    * on the 10^10-row side (SURVEY.md §3 step 1; round-1 judge item 1). */
-  def forCrawl(root: String, spark: SparkSession, buckets: Int = 32): CrawlLake = {
+  /** The crawl engine's production layout: frontier, fetch_log AND
+    * extracted bucketed by url_hash. Frontier/fetch_log co-partitioning
+    * makes the per-tick PENDING anti-join and the seen-set exact-confirm
+    * join exchange-free (SURVEY.md §3 step 1; round-1 judge item 1);
+    * extracted — the 10^10-row PRODUCT table at crawl scale — gets the
+    * same treatment so the last-write-wins `latestExtracted` arg-max and
+    * any consumer join on url_hash plan with no Exchange either
+    * (plan-asserted in CrawlDriverSpec).
+    * @param enrich widen extracted's stored schema with the fused
+    *               enrichment columns (must match CrawlConfig.enrich, or
+    *               the bucketed write would silently drop them) */
+  def forCrawl(
+      root: String,
+      spark: SparkSession,
+      buckets: Int = 32,
+      enrich: Boolean = false): CrawlLake = {
     import org.apache.spark.sql.Encoders
+    val extractedSchema = {
+      val base = Encoders.product[graft.model.Extracted].schema
+      if (!enrich) base
+      else org.apache.spark.sql.types.StructType(
+        base.fields ++ graft.ml.TextEnrich.schema.fields.map(_.copy(nullable = true)))
+    }
     new CrawlLake(root, spark, Map(
       "frontier" -> BucketedTableSpec(
         Encoders.product[graft.model.FrontierEntry].schema, "url_hash", buckets),
       "fetch_log" -> BucketedTableSpec(
-        Encoders.product[graft.model.FetchRecord].schema, "url_hash", buckets)))
+        Encoders.product[graft.model.FetchRecord].schema, "url_hash", buckets),
+      "extracted" -> BucketedTableSpec(extractedSchema, "url_hash", buckets)))
   }
 
   /** Shared pool for concurrent per-table commit writes. */

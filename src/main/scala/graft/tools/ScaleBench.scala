@@ -99,7 +99,7 @@ object ScaleBench {
           CrawlLake(Files.createTempDirectory(Paths.get("/dev/shm"), s"graft-sb-$cpus").toString, spark)
         else CrawlLake.forCrawl(
           Files.createTempDirectory(Paths.get("/dev/shm"), s"graft-sb-$cpus").toString, spark,
-          buckets = cpus)
+          buckets = cpus, enrich = true) // must match CrawlConfig.enrich below
       val driver = new CrawlDriver(spark, lake, pagesDf, robots,
         CrawlConfig(budget = budget, seenPartitions = 64, expectedPerSegment = 1 << 16,
           collectStats = false, enrich = true,

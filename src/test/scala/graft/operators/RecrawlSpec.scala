@@ -110,6 +110,13 @@ class RecrawlSpec extends AnyFunSuite {
       .select("url_hash", "extracted_text").as[(Long, String)].collect().toMap
     driver.latestExtracted.select("url_hash", "extracted_text").as[(Long, String)]
       .collect().foreach { case (h, txt) => assert(lastBatch(h) == txt) }
+
+    // with extracted stored url_hash-bucketed, the arg-max aggregate runs
+    // inside the bucketed scan's partitioning: no Exchange anywhere
+    val plan = driver.latestExtracted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"latestExtracted should be co-partitioned by the bucket layout:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"expected a bucketed extracted scan:\n$plan")
   }
 
   test("bucketed lake: TTL pending plans with zero shuffle exchanges") {
