@@ -62,7 +62,13 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"BENCH QUERY FAILURES: ${failed.mkString(", ")}")
 
-    // crawl headline: steady-state tick over a pre-seeded 30k-page corpus
+    // crawl headline: steady-state tick over a pre-seeded 30k-page corpus.
+    // One untimed full-pipeline pass first, same policy as the query
+    // warmup above: a cold first crawl spends ~5 s JIT-compiling the
+    // extraction/enrichment kernels and Tungsten codegen — measured
+    // back-to-back, the identical crawl runs ~60% faster once warm, and
+    // steady-state throughput is the BASELINE.json metric (a 10^10-URL
+    // crawl is never cold).
     val crawlJson =
       try {
         val n = 30000L
@@ -71,17 +77,21 @@ object Bench {
         val pages = spark.range(0L, n, 1L, cpus.toInt)
           .mapPartitions(_.map(i => graft.synth.PageSynth.synthPage(i, n, cfg).page)).toDF()
         val robots = spark.createDataset(Seq.empty[graft.model.RobotsEntry])
-        val lake = graft.lake.CrawlLake.forCrawl(
-          java.nio.file.Files.createTempDirectory("graft-bench-lake").toString, spark, buckets = cpus.toInt)
-        val driver = new graft.crawl.CrawlDriver(spark, lake, pages, robots,
-          graft.crawl.CrawlConfig(budget = 200, seenPartitions = 64,
-            expectedPerSegment = 1 << 14, collectStats = false))
-        driver.init((0L until n).map(i =>
-          graft.model.Seed(graft.synth.PageSynth.url(i, cfg), 0, graft.synth.PageSynth.warcTs(0))))
-        val t0 = System.nanoTime()
-        val stats = driver.run(2)
-        val wall = (System.nanoTime() - t0) / 1e9
-        val fetched = stats.map(_.fetched).sum
+        def runCrawl(): (Long, Double) = {
+          val lake = graft.lake.CrawlLake.forCrawl(
+            java.nio.file.Files.createTempDirectory("graft-bench-lake").toString, spark, buckets = cpus.toInt)
+          val driver = new graft.crawl.CrawlDriver(spark, lake, pages, robots,
+            graft.crawl.CrawlConfig(budget = 200, seenPartitions = 64,
+              expectedPerSegment = 1 << 14, collectStats = false))
+          driver.init((0L until n).map(i =>
+            graft.model.Seed(graft.synth.PageSynth.url(i, cfg), 0, graft.synth.PageSynth.warcTs(0))))
+          val t0 = System.nanoTime()
+          val stats = driver.run(2)
+          val wall = (System.nanoTime() - t0) / 1e9
+          (stats.map(_.fetched).sum, wall)
+        }
+        runCrawl() // untimed warmup (fresh lake; JIT + codegen caches warm)
+        val (fetched, wall) = runCrawl()
         f"""{"pages_fetched":$fetched,"wall_s":$wall%.2f,"urls_per_sec":${fetched / wall}%.1f}"""
       } catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
 
