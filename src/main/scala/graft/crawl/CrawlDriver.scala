@@ -164,6 +164,18 @@ final class CrawlDriver(
   def fetchLog: DataFrame = lake.read("fetch_log", fetchSchema)
   def extracted: DataFrame = lake.read("extracted", extractedSchema)
 
+  /** `extracted` including the enrichment columns when the engine runs
+    * with [[CrawlConfig.enrich]] — the training-data consumer's view
+    * (simhash / minhash band / fingerprint / quality ride next to the
+    * text in the same bucketed layout). */
+  def extractedFull: DataFrame = {
+    val schema =
+      if (!cfg.enrich) extractedSchema
+      else org.apache.spark.sql.types.StructType(
+        extractedSchema.fields ++ graft.ml.TextEnrich.schema.fields.map(_.copy(nullable = true)))
+    lake.read("extracted", schema)
+  }
+
   /** The CURRENT extraction per url_hash — put-overwrite parity with the
     * reference's results sink (overwrite by JobId,
     * `send-textract-result-to-dynamo/lambda.ts:207-223`). `extracted` itself

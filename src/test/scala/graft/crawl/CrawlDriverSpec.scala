@@ -335,6 +335,81 @@ class CrawlDriverSpec extends AnyFunSuite {
     assert(m("seen").size <= 1 + cfg.seenCompactEvery, m("seen"))
   }
 
+  test("soak: TTL + bounded retry + compaction + enrich together, resume-exact") {
+    // every continuous-operation feature ON at once — the interaction
+    // surface no single-feature spec covers: re-crawl TTL ages successes
+    // AND exhausted failures, the retry budget gates per-epoch attempts,
+    // both compactions fold mid-run, enrichment widens the bucketed
+    // extracted schema
+    val nSoak = 40L
+    val ttl = 3
+    val soakCorpus = PageSynth.pages(nSoak)
+    val missing = (0 until 3).map(i =>
+      graft.model.Seed(s"https://missing.example/doc$i", 0, PageSynth.warcTs(0)))
+    val cfg = CrawlConfig(
+      budget = 1000, seenPartitions = 8, expectedPerSegment = 4096,
+      maxDepth = 0, enrich = true, maxAttempts = 2, recrawlAfterTicks = ttl,
+      seenCompactEvery = 3, lakeCompactEvery = 4)
+    def mkDriver(root: String): CrawlDriver = {
+      val lake = CrawlLake.forCrawl(root, spark, buckets = 8, enrich = true)
+      new CrawlDriver(spark, lake,
+        spark.createDataFrame(soakCorpus.map(_.page)),
+        spark.createDataset(Seq.empty[graft.model.RobotsEntry]), cfg)
+    }
+    def lineage(d: CrawlDriver) = d.fetchLog
+      .select("url_hash", "batch_id", "status").as[(Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._2)).toVector
+
+    // run A: straight through 12 ticks
+    val rootA = Files.createTempDirectory("graft-soak-a").toString
+    val a = mkDriver(rootA)
+    a.init((0L until nSoak).map(i =>
+      graft.model.Seed(PageSynth.url(i), 0, PageSynth.warcTs(0))) ++ missing)
+    val statsA = a.run(12)
+    assert(statsA.size == 12)
+
+    val byUrl = lineage(a).groupBy(_._1)
+    val missingHashes = missing.map(s => UrlCanonicalizer.urlHash(s.url)).toSet
+    byUrl.foreach { case (h, rows) =>
+      if (missingHashes(h)) {
+        // never succeeds: an initial maxAttempts burst, then at most one
+        // probe per TTL window (re-aged failures), never hammered
+        assert(rows.forall(_._3 == 404))
+        assert(rows.length >= cfg.maxAttempts)
+        assert(rows.length <= cfg.maxAttempts + 12 / ttl + 1, rows.mkString(","))
+      } else {
+        // only successes, re-fetched no sooner than the TTL
+        assert(rows.forall(_._3 == 200))
+        rows.map(_._2).sliding(2).foreach {
+          case Vector(b1, b2) => assert(b2 - b1 >= ttl, s"url $h refetched at $b1 -> $b2")
+          case _ => ()
+        }
+      }
+    }
+    // current view: exactly one row per fetched url, from its last batch
+    val latest = a.latestExtracted.select("url_hash", "batch_id")
+      .as[(Long, Long)].collect().toMap
+    val lastSuccess = byUrl.collect {
+      case (h, rows) if rows.exists(_._3 == 200) => h -> rows.filter(_._3 == 200).map(_._2).max
+    }
+    assert(latest == lastSuccess)
+    // enrichment columns survived the bucketed write
+    val enriched = a.extractedFull
+    assert(Seq("simhash", "minhash_band0", "fingerprint", "quality")
+      .forall(enriched.columns.contains), enriched.columns.mkString(","))
+
+    // run B: kill after 6 ticks, resume with a FRESH driver (fresh-JVM
+    // path over the same lake), 6 more — must be bit-identical to run A
+    val rootB = Files.createTempDirectory("graft-soak-b").toString
+    val b1 = mkDriver(rootB)
+    b1.init((0L until nSoak).map(i =>
+      graft.model.Seed(PageSynth.url(i), 0, PageSynth.warcTs(0))) ++ missing)
+    b1.run(6)
+    val b2 = mkDriver(rootB)
+    b2.run(6)
+    assert(lineage(b2) == lineage(a), "kill-and-resume soak must equal straight-through")
+  }
+
   test("tick stats are coherent and lineage covers every schedule") {
     val cfg = CrawlConfig(budget = 2, seenPartitions = 8, expectedPerSegment = 4096)
     val (driver, _) = newDriver(cfg)
