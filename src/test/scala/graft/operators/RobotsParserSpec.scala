@@ -80,6 +80,36 @@ class RobotsParserSpec extends AnyFunSuite {
       RobotsRule(allow = true, "/tmp/")))
   }
 
+  test("property: pattern matcher agrees with a regex oracle on random patterns/paths") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // oracle: the REP pattern as an anchored regex — '*' -> '.*', literal
+    // segments quoted, trailing '$' -> end anchor, else "matches a prefix"
+    def oracle(pattern: String, path: String): Boolean = {
+      val anchored = pattern.endsWith("$")
+      val pat = if (anchored) pattern.dropRight(1) else pattern
+      val body = pat.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*")
+      val rx = ("^" + body + (if (anchored) "$" else ".*") + "$").r
+      rx.matches(path)
+    }
+    val piece = Gen.oneOf("/a", "/bb", "x", ".html", "/", "$", "*", "c")
+    val gen = for {
+      pn <- Gen.choose(0, 6)
+      ps <- Gen.listOfN(pn, piece)
+      tn <- Gen.choose(0, 8)
+      ts <- Gen.listOfN(tn, Gen.oneOf("/a", "/bb", "x", ".html", "c", "ab"))
+    } yield (ps.mkString, ts.mkString)
+    val cases = (0 until 3000).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).toList)
+    assert(cases.size > 2500)
+    cases.foreach { case (pattern, path) =>
+      // a '$' anywhere but the end is literal in REP terms; the regex
+      // oracle treats it the same way via quoting, so compare verbatim
+      assert(RobotsMatcher.matches(pattern, path) == oracle(pattern, path),
+        s"pattern '$pattern' vs path '$path'")
+    }
+  }
+
   test("REP pattern matching: wildcards, anchors, and specificity") {
     import RobotsMatcher.matches
     assert(matches("/tmp/*/cache", "/tmp/a/b/cache/x"))
