@@ -16,21 +16,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
+    // the engine's recommended tuning, one source of truth (GraftSession);
+    // shuffle partitions pinned to cpus for registry-timing continuity with
+    // earlier rounds
+    val spark = GraftSession.local(cpus.toInt, shufflePartitions = Some(cpus.toInt))
       .config("spark.ui.enabled", "false")
-      // realistic broadcast budget for the AQE-gated fetch join (see
-      // ScaleBench.makeSession for the rationale)
-      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
-      // AQE's default 1MB coalesce floor collapses the crawl's CPU-dense
-      // small shuffles (candidate dedup agg: ~2MB bytes, ~10us/row) to 1-2
-      // tasks, serializing ~3s of per-tick work; a 64k floor keeps them at
-      // the parallelism the CPU cost wants while still coalescing true
-      // slivers
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -22,19 +22,8 @@ object CrawlBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val n = sys.env.getOrElse("GRAFT_CRAWL_N", "30000").toLong
     val repeat = sys.env.getOrElse("GRAFT_REPEAT", "1").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = graft.GraftSession.local(cpus.toInt, shufflePartitions = Some(cpus.toInt))
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
-      // AQE's default 1MB coalesce floor collapses the crawl's CPU-dense
-      // small shuffles (candidate dedup agg: ~2MB bytes, ~10us/row) to 1-2
-      // tasks, serializing ~3s of per-tick work; a 64k floor keeps them at
-      // the parallelism the CPU cost wants while still coalescing true
-      // slivers
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

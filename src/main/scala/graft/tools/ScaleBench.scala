@@ -37,30 +37,13 @@ object ScaleBench {
     PageSynth.Config(nHosts = 400, megaPct = 10, minLines = 150, extraLines = 50)
 
   def makeSession(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // the engine's recommended tuning (see graft.GraftSession scaladoc for
+    // the broadcast-budget / coalesce-floor / 3-slots-per-core rationale)
+    val s = graft.GraftSession.local(
+        cpus,
+        shufflePartitions = sys.env.get("GRAFT_SHUFFLE_PARTITIONS").map(_.toInt))
       .appName(s"graft-scalebench-$cpus")
-      // 3 reduce slots per core: the corpus has deliberate megahost skew,
-      // and with exactly `cpus` reduce tasks one heavy host partition sets
-      // the whole stage's pace — over-partitioning + AQE coalescing keeps
-      // all cores fed (A/B'd at 8 cores; see BASELINE.md round 3)
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", (cpus * 3).toString))
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // The fetch join is AQE-size-gated (CrawlDriver): size the broadcast
-      // budget to executor memory like a real deployment would — the
-      // default 10 MB would demote a ~120k-row politeness batch to a
-      // sort-merge join and shuffle the 17 GB pages side every tick.
-      // Batches past this still degrade gracefully to SMJ.
-      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
-      // AQE's default 1MB coalesce floor collapses the crawl's CPU-dense
-      // small shuffles (candidate dedup agg: ~2MB bytes, ~10us/row) to 1-2
-      // tasks, serializing ~3s of per-tick work; a 64k floor keeps them at
-      // the parallelism the CPU cost wants while still coalescing true
-      // slivers
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       // cache/shuffle spill on tmpfs: the measured job is the engine, not
       // this sandbox's ext4 writeback variance
       .config("spark.local.dir", "/dev/shm/spark-local")
