@@ -61,27 +61,10 @@ object Bench {
     // crawl is never cold).
     val crawlJson =
       try {
-        val n = 30000L
-        val cfg = graft.synth.PageSynth.Config(nHosts = 200, megaPct = 10, minLines = 10, extraLines = 5)
-        import spark.implicits._
-        val pages = spark.range(0L, n, 1L, cpus.toInt)
-          .mapPartitions(_.map(i => graft.synth.PageSynth.synthPage(i, n, cfg).page)).toDF()
-        val robots = spark.createDataset(Seq.empty[graft.model.RobotsEntry])
-        def runCrawl(): (Long, Double) = {
-          val lake = graft.lake.CrawlLake.forCrawl(
-            java.nio.file.Files.createTempDirectory("graft-bench-lake").toString, spark, buckets = cpus.toInt)
-          val driver = new graft.crawl.CrawlDriver(spark, lake, pages, robots,
-            graft.crawl.CrawlConfig(budget = 200, seenPartitions = 64,
-              expectedPerSegment = 1 << 14, collectStats = false))
-          driver.init((0L until n).map(i =>
-            graft.model.Seed(graft.synth.PageSynth.url(i, cfg), 0, graft.synth.PageSynth.warcTs(0))))
-          val t0 = System.nanoTime()
-          val stats = driver.run(2)
-          val wall = (System.nanoTime() - t0) / 1e9
-          (stats.map(_.fetched).sum, wall)
-        }
-        runCrawl() // untimed warmup (fresh lake; JIT + codegen caches warm)
-        val (fetched, wall) = runCrawl()
+        val pages = graft.tools.CrawlHeadline.pages(spark, cpus.toInt)
+        // untimed warmup (fresh lake; JIT + codegen caches warm)
+        graft.tools.CrawlHeadline.runOnce(spark, pages, cpus.toInt)
+        val (fetched, wall) = graft.tools.CrawlHeadline.runOnce(spark, pages, cpus.toInt)
         f"""{"pages_fetched":$fetched,"wall_s":$wall%.2f,"urls_per_sec":${fetched / wall}%.1f}"""
       } catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
 

@@ -434,11 +434,14 @@ object SparkEntry {
     "q33_ann_ivf_fullrank" -> annExactTop5Sql,
     "q27_cosine_neardups" ->
       "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
+    // q20's norm must mirror the FINGERPRINT kernel's normalization, which
+    // (unlike normSql's space-only trim-first) strips ALL edge whitespace:
+    // collapse runs to single spaces FIRST, then a space trim is total
     "q20_fingerprint_rolling" ->
       s"""WITH d AS (
-        |  SELECT doc_id, $normSql AS nt FROM documents
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, $normSql FROM documents)
+        |  SELECT doc_id + 1000000, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM d a JOIN d b ON a.nt = b.nt AND a.doc_id < b.doc_id""".stripMargin,
     "q26_ann_lsh" ->

@@ -290,6 +290,15 @@ final class CrawlLake(
     }
   }
 
+  /** Scrub crash leftovers of `batchId` from every bucketed table — the
+    * idempotency guard [[writeBucketedPartition]] applies before its own
+    * insert, exposed for commit paths that publish a batch WITHOUT writing
+    * (empty ticks): an orphan `_pbatch=batchId` partition from a crashed
+    * earlier attempt must not become visible when the manifest advances to
+    * batchId. No-op (zero Spark jobs) when nothing is left over. */
+  def dropCrashLeftovers(batchId: Long): Unit =
+    bucketed.keys.toSeq.sorted.foreach(dropPartition(_, batchId))
+
   /** Registered partition values of a bucketed table (catalog view). */
   def partitionIds(table: String): Seq[Long] =
     spark.sql(s"SHOW PARTITIONS ${catalogName(table)}")

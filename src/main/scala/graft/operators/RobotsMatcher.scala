@@ -37,7 +37,21 @@ object RobotsMatcher {
   private def matchesPattern(pattern: String, path: String): Boolean = {
     val anchored = pattern.endsWith("$")
     val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
-    val segs = pat.split("\\*", -1) // -1 keeps empty segments: "a*" -> ["a",""]
+    // manual '*'-segmentation: String.split("\\*") would Pattern.compile on
+    // EVERY call, and this runs per pending row × per wildcard rule inside
+    // the scan-side robots filter (round-4 reviewer)
+    val segs = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var from = 0
+      var star = pat.indexOf('*')
+      while (star >= 0) {
+        out += pat.substring(from, star)
+        from = star + 1
+        star = pat.indexOf('*', from)
+      }
+      out += pat.substring(from) // keeps trailing empty segment for "a*"
+      out
+    }
     if (!path.startsWith(segs(0))) return false
     var pos = segs(0).length
     if (segs.length == 1)

@@ -80,29 +80,46 @@ object SeenSet {
     else filterNewFiltered(candidates, segments, seenHashes, p)
   }
 
+  /** Group collected segments by partition_id for [[SeenProbeBroadcast]]. */
+  def groupSegments(segs: Array[Segment], p: Int): Array[Array[Array[Byte]]] = {
+    val tmp = Array.fill(p)(List.empty[Array[Byte]])
+    segs.foreach { s =>
+      require(s.partition_id >= 0 && s.partition_id < p,
+        s"segment partition_id ${s.partition_id} out of range for P=$p")
+      tmp(s.partition_id) = s.segment :: tmp(s.partition_id)
+    }
+    tmp.map(_.reverse.toArray)
+  }
+
   /** Broadcast-probe path of [[filterNew]]: `segs` (already collected —
     * caller gates on size) are grouped by partition_id, broadcast once, and
     * probed per candidate row by a codegen'd expression. Same
-    * probe-OR-then-exact-confirm semantics as the cogroup path. */
+    * probe-OR-then-exact-confirm semantics as the cogroup path.
+    * Callers managing broadcast lifecycle across ticks pass their own
+    * handle via the overload below. */
   def filterNewBroadcast(
       candidates: Dataset[FrontierEntry],
       segs: Array[Segment],
       seenHashes: DataFrame,
-      p: Int = DefaultPartitions): Dataset[FrontierEntry] = {
+      p: Int = DefaultPartitions): Dataset[FrontierEntry] =
+    filterNewBroadcast(
+      candidates,
+      candidates.sparkSession.sparkContext.broadcast(groupSegments(segs, p)),
+      seenHashes, p)
+
+  /** [[filterNewBroadcast]] over a caller-owned broadcast of the grouped
+    * segments (the caller destroys it once the tick's jobs complete —
+    * waiting for the ContextCleaner lets several 100MB-generation
+    * broadcasts pile up between GCs on a long crawl). */
+  def filterNewBroadcast(
+      candidates: Dataset[FrontierEntry],
+      grouped: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Byte]]]],
+      seenHashes: DataFrame,
+      p: Int): Dataset[FrontierEntry] = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val grouped: Array[Array[Array[Byte]]] = {
-      val tmp = Array.fill(p)(List.empty[Array[Byte]])
-      segs.foreach { s =>
-        require(s.partition_id >= 0 && s.partition_id < p,
-          s"segment partition_id ${s.partition_id} out of range for P=$p")
-        tmp(s.partition_id) = s.segment :: tmp(s.partition_id)
-      }
-      tmp.map(_.reverse.toArray)
-    }
-    val bc = spark.sparkContext.broadcast(grouped)
     val probedDf = candidates.toDF()
-      .withColumn("maybe", SeenSegments.seen_probe(col("url_hash"), bc, p))
+      .withColumn("maybe", SeenSegments.seen_probe(col("url_hash"), grouped, p))
     val seenKeys = seenHashes.select(col("url_hash").as("seen_hash"))
     probedDf
       .join(seenKeys, probedDf("url_hash") === seenKeys("seen_hash") && col("maybe"), "left_anti")

@@ -24,12 +24,7 @@ object SeenBench {
     val p = args.lift(2).map(_.toInt).getOrElse(4096)
     val expected = 1L << 16
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", (cpus.toInt * 3).toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = graft.GraftSession.local(cpus.toInt)
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/dev/shm/spark-local")
       .getOrCreate()
