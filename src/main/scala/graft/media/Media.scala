@@ -17,13 +17,16 @@ import graft.util.XxHash64
   * ==STUB NOTICE==
   * No image/audio codecs ship in this container. Format sniffing and
   * container-HEADER metadata are REAL (public specs: PNG IHDR, GIF block
-  * walk, JPEG SOFn scan, WAV fmt chunk, MP4/ISO-BMFF box walk). Pixel/PCM
-  * *decode internals* — feature extraction, resize, and the fallback for
-  * unparseable headers — are deterministic fakes, clearly marked `Stub`
-  * below (pure functions of the bytes via xxhash). The Spark-side plumbing
-  * — column types, batch iteration, partitioning, output schemas — is real
-  * and tested; swapping a real codec into [[decodeStub]]/[[featureStub]]
-  * changes nothing else.
+  * walk, JPEG SOFn scan, WAV fmt chunk, MP4/ISO-BMFF box walk), and for
+  * binary netpbm (P5/P6) the ENTIRE path is real — full pixel decode,
+  * BT.601 luminance-histogram features, box-filter resize — no codec
+  * needed, so the decode→feature→resize pipeline is genuinely end-to-end
+  * for one format. For codec formats, pixel/PCM *decode internals* —
+  * feature extraction, resize, and the fallback for unparseable headers —
+  * are deterministic fakes, clearly marked `Stub` below (pure functions of
+  * the bytes via xxhash). The Spark-side plumbing — column types, batch
+  * iteration, partitioning, output schemas — is real and tested; swapping
+  * a real codec into [[decodeStub]]/[[featureStub]] changes nothing else.
   */
 object Media {
 
@@ -47,6 +50,8 @@ object Media {
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') "wav"
     else if (bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p') "mp4"
+    else if (bytes(0) == 'P' && (bytes(1) == '5' || bytes(1) == '6') &&
+      (bytes(2) == ' ' || bytes(2) == '\n' || bytes(2) == '\r' || bytes(2) == '\t' || bytes(2) == '#')) "pnm"
     else if (bytes(0) == '<' || (bytes(0) == 0xef.toByte && bytes(1) == 0xbb.toByte)) "html"
     else "bin"
   }
@@ -125,6 +130,7 @@ object Media {
         case "wav" if bytes.length >= 28 =>
           Some((0, 0, 1, le32(bytes, 24)))
         case "mp4" => parseMp4(bytes)
+        case "pnm" => parsePnm(bytes).map { case (_, w, h, _) => (w, h, 1, 0) }
         case _ => None
       }
     } catch { case _: IndexOutOfBoundsException => None }
@@ -195,10 +201,146 @@ object Media {
     }
   }
 
+  // --- netpbm (binary P5 grayscale / P6 RGB, maxval <= 255): the one
+  // format this container CAN fully decode with no codec — pixels,
+  // features and resize below are REAL, not stubs, making the whole
+  // decode→feature→resize pipeline genuinely end-to-end for pnm blobs
+  // while codec formats (jpeg/png/mp4) keep real headers + marked stubs. ---
+
+  /** Parse a binary netpbm header: (channels, width, height, pixelOffset).
+    * Handles runs of whitespace and `#` comments per the netpbm spec;
+    * None when malformed, truncated, or maxval > 255. */
+  def parsePnm(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (bytes == null || bytes.length < 10 || bytes(0) != 'P') return None
+    val channels = bytes(1) match {
+      case '5' => 1
+      case '6' => 3
+      case _ => return None
+    }
+    var i = 2
+    def skipWs(): Boolean = {
+      var progressed = false
+      var going = true
+      while (going && i < bytes.length) {
+        val c = bytes(i)
+        if (c == ' ' || c == '\n' || c == '\r' || c == '\t') { i += 1; progressed = true }
+        else if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1; progressed = true }
+        else going = false
+      }
+      progressed
+    }
+    def readInt(): Int = {
+      var v = 0
+      var any = false
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1; any = true
+      }
+      if (!any) -1 else v
+    }
+    if (!skipWs()) return None
+    val w = readInt(); if (w <= 0) return None
+    if (!skipWs()) return None
+    val h = readInt(); if (h <= 0) return None
+    if (!skipWs()) return None
+    val maxval = readInt(); if (maxval <= 0 || maxval > 255) return None
+    // exactly ONE whitespace byte separates maxval from the raster
+    if (i >= bytes.length) return None
+    val c = bytes(i)
+    if (!(c == ' ' || c == '\n' || c == '\r' || c == '\t')) return None
+    i += 1
+    if (bytes.length - i < w.toLong * h * channels) None
+    else Some((channels, w, h, i))
+  }
+
+  /** REAL per-pixel luminance histogram (256 bins) for a netpbm blob —
+    * BT.601 integer luma for RGB, identity for grayscale. */
+  def pnmLumaHistogram(bytes: Array[Byte]): Option[Array[Long]] =
+    parsePnm(bytes).map { case (channels, w, h, off) =>
+      val hist = new Array[Long](256)
+      var p = off
+      val end = off + w * h * channels
+      while (p < end) {
+        val y =
+          if (channels == 1) u8(bytes(p))
+          else (299 * u8(bytes(p)) + 587 * u8(bytes(p + 1)) + 114 * u8(bytes(p + 2))) / 1000
+        hist(y) += 1L
+        p += channels
+      }
+      hist
+    }
+
+  /** REAL image features for decodable (netpbm) blobs: the 256-bin
+    * luminance histogram L1-normalized, folded to `dim` bins, then
+    * unit-normalized — a deterministic, content-meaningful embedding.
+    * None for formats this container cannot decode (callers fall back to
+    * the marked stub). */
+  def imageFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+    pnmLumaHistogram(bytes).map { hist =>
+      val folded = new Array[Double](dim)
+      var b = 0
+      while (b < 256) { folded(b % dim) += hist(b).toDouble; b += 1 }
+      val total = folded.sum.max(1e-9)
+      val l1 = folded.map(_ / total)
+      val norm = math.sqrt(l1.map(x => x * x).sum).max(1e-9)
+      l1.map(x => (x / norm).toFloat)
+    }
+
+  /** Dispatch: real features when the blob decodes, marked stub otherwise. */
+  def mediaFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+    imageFeatures(bytes, dim).getOrElse(featureStub(bytes, dim))
+
+  /** REAL box-filter downscale for netpbm blobs — emits a valid binary
+    * netpbm of the same kind at exactly w×h (each output pixel averages
+    * its source box). None when the blob isn't decodable netpbm or the
+    * target upsamples. */
+  def pnmResize(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    parsePnm(bytes).flatMap { case (channels, sw, sh, off) =>
+      if (w <= 0 || h <= 0 || w > sw || h > sh) None
+      else {
+        val header = s"P${if (channels == 1) 5 else 6}\n$w $h\n255\n".getBytes("US-ASCII")
+        val out = new Array[Byte](header.length + w * h * channels)
+        System.arraycopy(header, 0, out, 0, header.length)
+        var oy = 0
+        while (oy < h) {
+          val y0 = oy * sh / h
+          val y1 = math.max(y0 + 1, (oy + 1) * sh / h)
+          var ox = 0
+          while (ox < w) {
+            val x0 = ox * sw / w
+            val x1 = math.max(x0 + 1, (ox + 1) * sw / w)
+            var c = 0
+            while (c < channels) {
+              var sum = 0L
+              var n = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  sum += u8(bytes(off + (y * sw + x) * channels + c))
+                  n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              out(header.length + (oy * w + ox) * channels + c) = (sum / n).toByte
+              c += 1
+            }
+            ox += 1
+          }
+          oy += 1
+        }
+        Some(out)
+      }
+    }
+
+  /** Dispatch: real resize when decodable, marked stub otherwise. */
+  def mediaResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+    pnmResize(bytes, w, h).getOrElse(resizeStub(bytes, w, h))
+
   /** Decode: real format sniff + REAL header metadata for png/gif/jpeg/wav/
-    * mp4; only bytes whose headers don't parse fall back to the
-    * clearly-marked deterministic fake. Replace the fallback with a real
-    * codec call when one is available. */
+    * mp4 and REAL full pixel decode for netpbm; only bytes whose headers
+    * don't parse fall back to the clearly-marked deterministic fake.
+    * Replace the fallback with a real codec call when one is available. */
   def decodeStub(bytes: Array[Byte]): MediaMeta = {
     if (bytes == null) return MediaMeta("null", 0, 0, 0, 0, 0L)
     val format = sniffFormat(bytes)
@@ -282,7 +424,24 @@ object Media {
     val outSchema = df.schema.add("embedding", ArrayType(FloatType, containsNull = false), nullable = false)
     val blobIdx = df.schema.fieldIndex(blobCol)
     mapBatched(df, outSchema, batchSize) { batch =>
-      batch.map(row => Row.fromSeq(row.toSeq :+ featureStub(row.getAs[Array[Byte]](blobIdx), dim).toSeq))
+      // real luminance-histogram features for decodable (netpbm) blobs,
+      // marked stub for codec formats
+      batch.map(row => Row.fromSeq(row.toSeq :+ mediaFeatures(row.getAs[Array[Byte]](blobIdx), dim).toSeq))
+    }
+  }
+
+  /** Resize stage: adds `resized binary` (batched) — a REAL box-filter
+    * downscale for decodable (netpbm) blobs, the marked stub otherwise. */
+  def resizeImages(
+      df: DataFrame,
+      blobCol: String = "blob",
+      w: Int = 64,
+      h: Int = 64,
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema.add("resized", BinaryType, nullable = false)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    mapBatched(df, outSchema, batchSize) { batch =>
+      batch.map(row => Row.fromSeq(row.toSeq :+ mediaResize(row.getAs[Array[Byte]](blobIdx), w, h)))
     }
   }
 

@@ -159,6 +159,50 @@ class MediaSpec extends AnyFunSuite {
     assert(out.head.toSeq == mp4.take(mp4.length / 4).toSeq)
   }
 
+  test("netpbm: REAL pixel decode, luminance features, and box-filter resize") {
+    // 4x2 P6 with known pixels: top row black->white ramp, bottom row solid red
+    val header = "P6\n# comment\n4 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array[Int](
+      0, 0, 0,   85, 85, 85,   170, 170, 170,   255, 255, 255,
+      255, 0, 0, 255, 0, 0,    255, 0, 0,       255, 0, 0).map(_.toByte)
+    val ppm = header ++ pixels
+    assert(Media.sniffFormat(ppm) == "pnm")
+    assert(Media.parsePnm(ppm).contains((3, 4, 2, header.length)))
+    assert(Media.decodeStub(ppm) == Media.MediaMeta("pnm", 4, 2, 1, 0, ppm.length.toLong))
+
+    // luminance histogram: grays at their value; red = BT.601 luma 76
+    val hist = Media.pnmLumaHistogram(ppm).get
+    assert(hist(0) == 1L && hist(85) == 1L && hist(170) == 1L && hist(255) == 1L)
+    assert(hist(299 * 255 / 1000) == 4L)
+    assert(hist.sum == 8L)
+
+    // features are the REAL histogram (folded + unit-norm), not the stub
+    val feats = Media.mediaFeatures(ppm, 16)
+    assert(!feats.sameElements(Media.featureStub(ppm, 16)))
+    assert(math.abs(math.sqrt(feats.map(x => x.toDouble * x).sum) - 1.0) < 1e-3)
+    // bin 255 % 16 = 15 collects the white pixel; 76 % 16 = 12 the red ones
+    assert(feats(12) > feats(15))
+
+    // box-filter downscale 4x2 -> 2x1: each output averages a 2x2 box
+    val resized = Media.pnmResize(ppm, 2, 1).get
+    val (c2, w2, h2, off2) = Media.parsePnm(resized).get
+    assert((c2, w2, h2) == (3, 2, 1))
+    def px(i: Int): Int = resized(off2 + i) & 0xff
+    // left box: (0,0,0)+(85,85,85)+(255,0,0)+(255,0,0) -> (148, 21, 21)
+    assert((px(0), px(1), px(2)) == (148, 21, 21))
+    // right box: (170..)+(255..)+red+red -> (233, 106, 106)
+    assert((px(3), px(4), px(5)) == (233, 106, 106))
+
+    // P5 grayscale path + upsample refusal + stub fallback for codecs
+    val pgm = "P5\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](10, 20)
+    assert(Media.parsePnm(pgm).isDefined)
+    assert(Media.pnmLumaHistogram(pgm).get(10) == 1L)
+    assert(Media.pnmResize(pgm, 4, 1).isEmpty)
+    assert(Media.mediaResize(png, 2, 2).sameElements(Media.resizeStub(png, 2, 2)))
+    // truncated raster is rejected, never a partial decode
+    assert(Media.parsePnm(ppm.dropRight(1)).isEmpty)
+  }
+
   test("media features flow into the similarity operators (end-to-end)") {
     val emb = Media.extractFeatures(mediaDf, dim = 32)
       .select($"media_id".as("vec_id"), $"embedding")
