@@ -282,6 +282,36 @@ object SparkEntry {
         .select("query_id", "nbr_id", "rank")
     }),
 
+    // multimodal decode, cross-engine: build a REAL binary netpbm blob per
+    // document (deterministic gradient raster, dims arithmetic in n_chars),
+    // run it through the actual media pipeline (sniff → parsePnm → meta;
+    // graft.media.Media), and emit the decoded dimensions + the exact pixel
+    // sum — the oracle recomputes both purely arithmetically in SQL, so a
+    // decode regression (header walk, raster offset, truncation handling)
+    // changes the values and fails the driver check
+    "q34_media_decode" -> ((s, dir) => {
+      val mkBlob = udf { (nChars: Long) =>
+        val w = (4 + nChars % 29).toInt
+        val h = (2 + nChars % 7).toInt
+        val header = s"P5\n# synth\n$w $h\n255\n".getBytes("US-ASCII")
+        header ++ Array.tabulate(w * h)(i => ((nChars + i) % 251).toByte)
+      }
+      val blobs = t(s, dir, "documents")
+        .select(col("doc_id"), mkBlob(col("n_chars").cast("long")).as("blob"))
+      graft.media.Media.decodeMeta(blobs)
+        .select(
+          col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .join(
+          graft.media.Media.extractFeatures(blobs, dim = 1)
+            .select(col("doc_id"), col("embedding")), Seq("doc_id"))
+        // dim=1 folds the whole L1-normalized histogram into one bin -> the
+        // feature is exactly 1.0 iff the REAL pixel decode ran (stub is a
+        // hash vector), pinning the luminance path cross-engine too
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          element_at(col("embedding"), 1).cast("double").as("decoded"))
+    }),
+
     // re-crawl TTL (revisit policy, operators.Recrawl): frontier = orders,
     // fetch lineage = lineitem (l_shipdate as fetch ts) — pending under a
     // freshness horizon = never fetched OR last fetch older than the horizon
@@ -432,6 +462,12 @@ object SparkEntry {
     // the exhaustive-mode approximate paths must reproduce the exact top-5
     "q32_ann_lsh_fullrank" -> annExactTop5Sql,
     "q33_ann_ivf_fullrank" -> annExactTop5Sql,
+    "q34_media_decode" ->
+      """SELECT doc_id, 'pnm' AS format,
+        |       CAST(4 + n_chars % 29 AS INT) AS width,
+        |       CAST(2 + n_chars % 7 AS INT) AS height,
+        |       CAST(1.0 AS DOUBLE) AS decoded
+        |FROM documents""".stripMargin,
     "q27_cosine_neardups" ->
       "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b FROM embeddings",
     // q20's norm must mirror the FINGERPRINT kernel's normalization, which
