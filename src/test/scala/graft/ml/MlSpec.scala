@@ -90,6 +90,34 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("WebTextPipeline.curate: staged cleaning with a faithful audit trail") {
+    val corpus = docs.unionByName(Seq(
+      (6L, "tiny"),                                                     // fails minTokens
+      (7L, "der hund und die katze und das haus und der baum und die "
+        + "sonne und der mond und ein stern ist mit von auf")           // German
+    ).toDF("doc_id", "text"))
+    val (kept, audit) = WebTextPipeline.curate(
+      corpus,
+      WebTextPipeline.Config(
+        minhashThreshold = 0.6, minTokens = 5, keepLangs = Seq("en")))
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    // 2 and 5 fall to exact dedup (normalized dups of 1); 3 falls to the
+    // near-dup stage (minhash pair 1~3, greater id dropped); 6 fails the
+    // token floor; 7 fails the language filter -> {1, 4} survive
+    assert(keptIds == Set(1L, 4L))
+    assert(audit.map(_.stage) ==
+      Seq("exact_dedup", "minhash_neardup", "quality_gate", "lang_filter"))
+    assert(audit.map(s => s.stage -> s.dropped).toMap ==
+      Map("exact_dedup" -> 2L, "minhash_neardup" -> 1L,
+        "quality_gate" -> 1L, "lang_filter" -> 1L))
+    // audit is internally consistent: kept(i) = kept(i-1) - dropped(i)
+    audit.sliding(2).foreach {
+      case Seq(a, b) => assert(b.kept + b.dropped == a.kept)
+      case _ => ()
+    }
+    assert(audit.last.kept == 2L)
+  }
+
   test("ngram jaccard: candidate-generation shuffles carry no gram arrays") {
     // the block self-join and the pair-dedup must shuffle bare (block, id) /
     // (id_a, id_b) rows; the ~KB distinct-gram arrays join back only after
