@@ -64,8 +64,13 @@ object Bench {
         val pages = graft.tools.CrawlHeadline.pages(spark, cpus.toInt)
         // untimed warmup (fresh lake; JIT + codegen caches warm)
         graft.tools.CrawlHeadline.runOnce(spark, pages, cpus.toInt)
-        val (fetched, wall) = graft.tools.CrawlHeadline.runOnce(spark, pages, cpus.toInt)
-        f"""{"pages_fetched":$fetched,"wall_s":$wall%.2f,"urls_per_sec":${fetched / wall}%.1f}"""
+        // median of 3 timed runs: single runs on this host swing up to
+        // ±40% with ambient shared-host contention (BASELINE.md round-4
+        // methodology) — the median is the honest steady-state number
+        val runs = (1 to 3).map(_ => graft.tools.CrawlHeadline.runOnce(spark, pages, cpus.toInt))
+        val (fetched, wall) = runs.sortBy(_._2).apply(runs.size / 2)
+        val rates = runs.map { case (f, w) => f"${f / w}%.1f" }.mkString("[", ",", "]")
+        f"""{"pages_fetched":$fetched,"wall_s":$wall%.2f,"urls_per_sec":${fetched / wall}%.1f,"runs":$rates}"""
       } catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
 
     val line =
