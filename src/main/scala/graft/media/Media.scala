@@ -49,9 +49,13 @@ object Media {
     else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8') "gif"
     else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') "wav"
-    else if (bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p') "mp4"
+    // pnm BEFORE mp4: the pnm magic is at offset 0 and unambiguous, while
+    // 'ftyp' at offset 4 is weaker evidence — a P5/P6 blob whose header
+    // bytes 4-7 happen to spell 'ftyp' (e.g. a '#ftyp…' comment) must sniff
+    // as the fully-decodable format, not the stubbed one (round-4 advisor)
     else if (bytes(0) == 'P' && (bytes(1) == '5' || bytes(1) == '6') &&
       (bytes(2) == ' ' || bytes(2) == '\n' || bytes(2) == '\r' || bytes(2) == '\t' || bytes(2) == '#')) "pnm"
+    else if (bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p') "mp4"
     else if (bytes(0) == '<' || (bytes(0) == 0xef.toByte && bytes(1) == 0xbb.toByte)) "html"
     else "bin"
   }

@@ -38,7 +38,15 @@ object WebTextPipeline {
 
   /** Curate `docs` (idCol, textCol). Returns (kept corpus, audit rows in
     * stage order). The audit materializes one count per stage — driver-side
-    * metadata, not a per-row collect. */
+    * metadata, not a per-row collect.
+    *
+    * Each stage's output is persisted before it is counted and the previous
+    * stage's cache released (round-4 advisor: an uncached chain recomputed
+    * every stage's full upstream — including the MinHash LSH self-join —
+    * once per later stage count and once more when the caller acted on the
+    * returned corpus, up to ~4× of the costliest stage, silently). The
+    * RETURNED corpus is the final stage's persisted frame: the caller's
+    * first action reads the cache; call `unpersist()` on it when done. */
   def curate(
       docs: DataFrame,
       cfg: Config = Config(),
@@ -46,10 +54,14 @@ object WebTextPipeline {
       textCol: String = "text"): (DataFrame, Seq[StageCount]) = {
     val audit = scala.collection.mutable.ArrayBuffer.empty[StageCount]
     var current = docs
+    var persisted: Option[DataFrame] = None
     var n = current.count()
 
-    def record(stage: String, next: DataFrame): Unit = {
-      val kept = next.count()
+    def record(stage: String, next0: DataFrame): Unit = {
+      val next = next0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val kept = next.count() // materializes the cache
+      persisted.foreach(_.unpersist())
+      persisted = Some(next)
       audit += StageCount(stage, kept, n - kept)
       current = next
       n = kept
