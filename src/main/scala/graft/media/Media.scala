@@ -18,10 +18,11 @@ import graft.util.XxHash64
   * No image/audio codecs ship in this container. Format sniffing and
   * container-HEADER metadata are REAL (public specs: PNG IHDR, GIF block
   * walk, JPEG SOFn scan, WAV fmt chunk, MP4/ISO-BMFF box walk), and for
-  * binary netpbm (P5/P6) the ENTIRE path is real — full pixel decode,
-  * BT.601 luminance-histogram features, box-filter resize — no codec
-  * needed, so the decode→feature→resize pipeline is genuinely end-to-end
-  * for one format. For codec formats, pixel/PCM *decode internals* —
+  * TWO formats the ENTIRE pixel path is real — binary netpbm (P5/P6,
+  * no codec needed) and GIF (from-scratch LZW decoder, [[GifCodec]]) —
+  * full pixel decode, BT.601 luminance-histogram features, box-filter
+  * resize, so the decode→feature→resize pipeline is genuinely end-to-end
+  * for both. For the remaining codec formats, pixel/PCM *decode internals* —
   * feature extraction, resize, and the fallback for unparseable headers —
   * are deterministic fakes, clearly marked `Stub` below (pure functions of
   * the bytes via xxhash). The Spark-side plumbing — column types, batch
@@ -273,13 +274,58 @@ object Media {
       hist
     }
 
-  /** REAL image features for decodable (netpbm) blobs: the 256-bin
-    * luminance histogram L1-normalized, folded to `dim` bins, then
+  /** REAL full pixel decode to a BT.601 luma raster: (width, height, luma
+    * bytes row-major). Two formats decode end-to-end in this container —
+    * binary netpbm (P5/P6, [[parsePnm]]) and GIF via the from-scratch LZW
+    * decoder ([[GifCodec.decodeFirstFrame]]). None for codec formats
+    * (jpeg/png/wav/mp4 — real headers, marked pixel stubs). */
+  def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    parsePnm(bytes) match {
+      case Some((channels, w, h, off)) =>
+        val luma = new Array[Byte](w * h)
+        var p = 0
+        while (p < w * h) {
+          val i = off + p * channels
+          val y =
+            if (channels == 1) u8(bytes(i))
+            else (299 * u8(bytes(i)) + 587 * u8(bytes(i + 1)) + 114 * u8(bytes(i + 2))) / 1000
+          luma(p) = y.toByte
+          p += 1
+        }
+        Some((w, h, luma))
+      case None if sniffFormat(bytes) == "gif" => GifCodec.decodeFirstFrame(bytes)
+      case None => None
+    }
+
+  /** Luminance histogram (256 bins) for any fully-decodable blob
+    * (netpbm or GIF). */
+  def lumaHistogram(bytes: Array[Byte]): Option[Array[Long]] =
+    decodeLuma(bytes).map { case (_, _, luma) =>
+      val hist = new Array[Long](256)
+      var p = 0
+      while (p < luma.length) { hist(u8(luma(p))) += 1L; p += 1 }
+      hist
+    }
+
+  /** Exact luminance sum over all pixels of a fully-decodable blob — the
+    * cross-engine pixel-truth scalar (for a grayscale-palette GIF or a P5,
+    * this is literally the sum of the stored bytes, which a SQL oracle can
+    * recompute arithmetically). */
+  def lumaSum(bytes: Array[Byte]): Option[Long] =
+    decodeLuma(bytes).map { case (_, _, luma) =>
+      var s = 0L
+      var p = 0
+      while (p < luma.length) { s += u8(luma(p)); p += 1 }
+      s
+    }
+
+  /** REAL image features for fully-decodable (netpbm/GIF) blobs: the
+    * 256-bin luminance histogram L1-normalized, folded to `dim` bins, then
     * unit-normalized — a deterministic, content-meaningful embedding.
     * None for formats this container cannot decode (callers fall back to
     * the marked stub). */
   def imageFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
-    pnmLumaHistogram(bytes).map { hist =>
+    lumaHistogram(bytes).map { hist =>
       val folded = new Array[Double](dim)
       var b = 0
       while (b < 256) { folded(b % dim) += hist(b).toDouble; b += 1 }
@@ -337,9 +383,26 @@ object Media {
       }
     }
 
-  /** Dispatch: real resize when decodable, marked stub otherwise. */
+  /** Transcode any fully-decodable blob to binary netpbm: a pnm passes
+    * through untouched; a GIF becomes a P5 of its decoded luma raster
+    * (grayscale — the honest lossy step, documented: resize-after-decode
+    * operates on luminance for palette formats). */
+  def toPnm(bytes: Array[Byte]): Option[Array[Byte]] =
+    if (parsePnm(bytes).isDefined) Some(bytes)
+    else decodeLuma(bytes).map { case (w, h, luma) =>
+      val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + luma.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(luma, 0, out, header.length, luma.length)
+      out
+    }
+
+  /** Dispatch: real resize when decodable (netpbm natively; GIF via luma
+    * transcode), marked stub otherwise. */
   def mediaResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
-    pnmResize(bytes, w, h).getOrElse(resizeStub(bytes, w, h))
+    pnmResize(bytes, w, h)
+      .orElse(toPnm(bytes).flatMap(pnmResize(_, w, h)))
+      .getOrElse(resizeStub(bytes, w, h))
 
   /** Decode: real format sniff + REAL header metadata for png/gif/jpeg/wav/
     * mp4 and REAL full pixel decode for netpbm; only bytes whose headers
@@ -434,8 +497,22 @@ object Media {
     }
   }
 
+  /** Pixel-truth stage: adds `luma_sum bigint` — the exact luminance sum
+    * over all decoded pixels for fully-decodable (netpbm/GIF) blobs, -1
+    * for formats this container cannot decode. Batched like the rest;
+    * the q38 oracle recomputes the sum arithmetically in SQL. */
+  def lumaSums(df: DataFrame, blobCol: String = "blob", batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema.add("luma_sum", LongType, nullable = false)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    mapBatched(df, outSchema, batchSize) { batch =>
+      batch.map(row =>
+        Row.fromSeq(row.toSeq :+ lumaSum(row.getAs[Array[Byte]](blobIdx)).getOrElse(-1L)))
+    }
+  }
+
   /** Resize stage: adds `resized binary` (batched) — a REAL box-filter
-    * downscale for decodable (netpbm) blobs, the marked stub otherwise. */
+    * downscale for decodable (netpbm natively, GIF via luma transcode)
+    * blobs, the marked stub otherwise. */
   def resizeImages(
       df: DataFrame,
       blobCol: String = "blob",
