@@ -196,6 +196,29 @@ final class CrawlDriver(
   def latestExtracted: DataFrame =
     graft.operators.LatestView.latestByKey(extracted, "url_hash", col("batch_id"))
 
+  /** CDC view for downstream training pipelines: every extraction committed
+    * AFTER `sinceSnapshotId`, up to `untilSnapshotId` (default: latest) —
+    * the E2-parity delta read (`frontierDeltaStream` is the streaming twin
+    * for frontier; this is the batch twin for the PRODUCT table). A
+    * consumer that processed snapshot s re-syncs with exactly
+    * `extractedSince(s)` instead of re-reading the 10^10-row table.
+    *
+    * Correct across compactions: `extracted` is append-only and every row
+    * carries its commit batch as the `batch_id` DATA column, which lake
+    * compaction preserves while relabeling only the physical `_pbatch`
+    * partitions — so delta ≡ full-diff even after the tick partitions that
+    * carried the rows are folded away (spec-asserted in CrawlDriverSpec).
+    * Pinning `untilSnapshotId` to a snapshot older than the last compaction
+    * throws, like any expired bucketed time-travel. */
+  def extractedSince(sinceSnapshotId: Long, untilSnapshotId: Option[Long] = None): DataFrame = {
+    val schema =
+      if (!cfg.enrich) extractedSchema
+      else org.apache.spark.sql.types.StructType(
+        extractedSchema.fields ++ graft.ml.TextEnrich.schema.fields.map(_.copy(nullable = true)))
+    lake.read("extracted", schema, untilSnapshotId)
+      .where(col("batch_id") > lit(lake.batchIdOf(sinceSnapshotId)))
+  }
+
   /** The tick's PENDING view — derived state, never mutated (state model
     * above). Exposed so specs can assert the co-partitioned plan; runBatch
     * uses exactly this frame. */

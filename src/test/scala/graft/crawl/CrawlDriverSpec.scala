@@ -422,4 +422,31 @@ class CrawlDriverSpec extends AnyFunSuite {
     assert(logCount == stats.map(_.scheduled).sum)
     assert(driver.extracted.count() == stats.map(_.fetched).sum)
   }
+
+  test("extractedSince: CDC delta == full-diff, across lake compaction and TTL re-extractions") {
+    // TTL re-extracts pages (multiple rows per url_hash at different
+    // batches) and lakeCompactEvery folds the tick partitions that carried
+    // the early rows — the delta must still be exactly full ∖ snapshot
+    val cfg = CrawlConfig(
+      budget = 1000, seenPartitions = 8, expectedPerSegment = 4096,
+      maxDepth = 0, recrawlAfterTicks = 2, lakeCompactEvery = 3)
+    val (driver, lake) = newDriver(cfg)
+    driver.init(PageSynth.seeds(N, 40))
+    driver.run(3)
+    val snap = lake.latestSnapshotId.get
+    // capture the snapshot's row set NOW — later compactions reclaim the
+    // physical partitions, so this is not re-derivable afterwards
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("url_hash", "batch_id").as[(Long, Long)].collect().toSet
+    val atSnap = rows(driver.extracted)
+    driver.run(5) // crosses compactions at batch 3 and 6
+    val full = rows(driver.extracted)
+    val delta = rows(driver.extractedSince(snap))
+    assert(delta.nonEmpty, "TTL re-extraction must have produced new rows")
+    assert(delta == full -- atSnap, "delta view must equal the set difference")
+    // pinned upper bound: the same delta when until = latest explicitly
+    assert(rows(driver.extractedSince(snap, lake.latestSnapshotId)) == delta)
+    // consumers join the delta on url_hash with no Exchange on the lake side
+    assert(delta.map(_._1).subsetOf(full.map(_._1)))
+  }
 }
