@@ -72,7 +72,7 @@ object Bench {
         // host, not the engine, owned that run's wall clock. Every run
         // tears its scratch lake + broadcasts down (CrawlHeadline), so
         // later runs no longer inherit the earlier runs' page-cache debris.
-        val nRuns = sys.env.getOrElse("GRAFT_BENCH_CRAWL_RUNS", "5").toInt
+        val nRuns = math.max(1, sys.env.getOrElse("GRAFT_BENCH_CRAWL_RUNS", "5").toInt)
         val runs = (1 to nRuns).map { _ =>
           val s = graft.tools.CrawlHeadline.sentinel()
           val (f, w) = graft.tools.CrawlHeadline.runOnce(spark, pages, cpus.toInt)

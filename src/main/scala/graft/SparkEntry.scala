@@ -392,7 +392,14 @@ object SparkEntry {
           exactDedup = true, minhashThreshold = 0.6,
           minTokens = 200, keepLangs = Seq("en")))
       val byStage = audit.map(a => a.stage -> a.kept).toMap
-      kept.select(col("doc_id"))
+      // curate returns its final stage persisted (its contract); pin the
+      // tiny kept-id projection with an eager localCheckpoint (one cache
+      // read; blocks reclaimed by the ContextCleaner once unreferenced)
+      // and release the cache, so repeated bench/verify invocations don't
+      // park a cached corpus per call
+      val ids = kept.select(col("doc_id")).localCheckpoint(true)
+      kept.unpersist()
+      ids
         .withColumn("kept_exact", lit(byStage("exact_dedup")))
         .withColumn("kept_neardup", lit(byStage("minhash_neardup")))
         .withColumn("kept_quality", lit(byStage("quality_gate")))

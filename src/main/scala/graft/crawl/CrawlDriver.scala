@@ -175,17 +175,20 @@ final class CrawlDriver(
   def fetchLog: DataFrame = lake.read("fetch_log", fetchSchema)
   def extracted: DataFrame = lake.read("extracted", extractedSchema)
 
+  /** Read schema of `extracted` under the current config: base columns,
+    * widened with the enrichment struct when [[CrawlConfig.enrich]] is on
+    * (shared by [[extractedFull]] and [[extractedSince]] so the CDC view
+    * can never desync from the consumer view). */
+  private def extractedReadSchema: org.apache.spark.sql.types.StructType =
+    if (!cfg.enrich) extractedSchema
+    else org.apache.spark.sql.types.StructType(
+      extractedSchema.fields ++ graft.ml.TextEnrich.schema.fields.map(_.copy(nullable = true)))
+
   /** `extracted` including the enrichment columns when the engine runs
     * with [[CrawlConfig.enrich]] — the training-data consumer's view
     * (simhash / minhash band / fingerprint / quality ride next to the
     * text in the same bucketed layout). */
-  def extractedFull: DataFrame = {
-    val schema =
-      if (!cfg.enrich) extractedSchema
-      else org.apache.spark.sql.types.StructType(
-        extractedSchema.fields ++ graft.ml.TextEnrich.schema.fields.map(_.copy(nullable = true)))
-    lake.read("extracted", schema)
-  }
+  def extractedFull: DataFrame = lake.read("extracted", extractedReadSchema)
 
   /** The CURRENT extraction per url_hash — put-overwrite parity with the
     * reference's results sink (overwrite by JobId,
@@ -210,14 +213,9 @@ final class CrawlDriver(
     * carried the rows are folded away (spec-asserted in CrawlDriverSpec).
     * Pinning `untilSnapshotId` to a snapshot older than the last compaction
     * throws, like any expired bucketed time-travel. */
-  def extractedSince(sinceSnapshotId: Long, untilSnapshotId: Option[Long] = None): DataFrame = {
-    val schema =
-      if (!cfg.enrich) extractedSchema
-      else org.apache.spark.sql.types.StructType(
-        extractedSchema.fields ++ graft.ml.TextEnrich.schema.fields.map(_.copy(nullable = true)))
-    lake.read("extracted", schema, untilSnapshotId)
+  def extractedSince(sinceSnapshotId: Long, untilSnapshotId: Option[Long] = None): DataFrame =
+    lake.read("extracted", extractedReadSchema, untilSnapshotId)
       .where(col("batch_id") > lit(lake.batchIdOf(sinceSnapshotId)))
-  }
 
   /** The tick's PENDING view — derived state, never mutated (state model
     * above). Exposed so specs can assert the co-partitioned plan; runBatch

@@ -9,9 +9,11 @@ package graft.tools
   *
   * Env knobs:
   *   SPARK_GRAFT_CPUS   local[N] parallelism (default 32)
-  *   GRAFT_LAKE_DIR     parent dir for the lake (default java.io.tmpdir,
-  *                      matching Bench; set /dev/shm/... to isolate from
-  *                      ext4 writeback noise)
+  *   GRAFT_LAKE_DIR     parent dir for the lake (default
+  *                      CrawlHeadline.scratchParent — /dev/shm when the
+  *                      host has one, else java.io.tmpdir — matching
+  *                      Bench; round-5 change: lakes are deleted after
+  *                      every run, so tmpfs no longer accumulates)
   *   GRAFT_REPEAT       in-JVM repeats, fresh lake each (default 1)
   */
 object CrawlBench {

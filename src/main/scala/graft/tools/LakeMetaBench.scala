@@ -26,11 +26,11 @@ import org.apache.spark.sql.Encoders
   */
 object LakeMetaBench {
   def main(args: Array[String]): Unit = {
-    val nTicks = args.lift(0).map(_.toInt).getOrElse(10000)
+    val nTicks = math.max(4, args.lift(0).map(_.toInt).getOrElse(10000)) // >=4: quartile medians
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = graft.GraftSession.local(cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", "/dev/shm/spark-local")
+      .config("spark.local.dir", graft.tools.CrawlHeadline.scratchParent + "/spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
