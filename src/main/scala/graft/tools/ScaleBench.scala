@@ -94,10 +94,12 @@ object ScaleBench {
       val t0 = System.nanoTime()
       val stats = driver.run(ticks)
       val wall = (System.nanoTime() - t0) / 1e9
-      // reclaim this config's lake — repeated runs were leaking ~600 MB of
-      // tmpfs each (the shared pages corpus stays for reuse)
-      scala.util.Using.resource(Files.walk(Paths.get(lake.root)))(
-        _.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_)))
+      // full teardown (round-5): release the seen broadcast — without this
+      // the WARMUP run's broadcast stayed parked through the measured run,
+      // the exact debris class that skewed BENCH_r04 — and drop the lake
+      // (catalog tables + ~600 MB of tmpfs; the shared corpus stays)
+      driver.close()
+      lake.drop()
       RunResult(cpus, stats.map(_.fetched).sum, wall)
     } finally spark.stop()
   }
