@@ -111,4 +111,32 @@ object RobotsParser {
       .as[(String, String)]
       .map { case (h, b) => parse(h, b, userAgent) }
   }
+
+  /** Build the robots dimension directly from a crawled web-page corpus
+    * (url, html, …) — the self-contained form: a crawl that has fetched
+    * each host's `/robots.txt` page needs no externally-supplied ruleset.
+    * Per RFC 9309 §2.3 only the ROOT `/robots.txt` governs a host, so the
+    * filter matches the exact path (a `/a/robots.txt` page is content, not
+    * policy); bodies decode as UTF-8 (Spark's binary→string cast), and one
+    * body per host survives via a deterministic min-by-url arg-min (e.g. a
+    * host crawled under both schemes).
+    *
+    * Scale shape: the path filter prunes the 10^10-row corpus to ≤ one row
+    * per host at the scan (codegen'd regexp on the pruned (url, html)
+    * read), so the host groupBy shuffles only O(hosts) robots bodies —
+    * then the parsed dimension broadcast-joins in
+    * [[RobotsFilter.filterAllowed]] like any other ruleset. */
+  def fromPages(pages: DataFrame, userAgent: String = DefaultAgent): Dataset[RobotsEntry] = {
+    import org.apache.spark.sql.functions.{min_by, regexp_extract}
+    import graft.functions.GraftFunctions.{canonicalize_url, url_host}
+    val robotsRows = pages
+      .where(regexp_extract(col("url"), "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/.*)$", 1) === "/robots.txt")
+      .select(
+        url_host(canonicalize_url(col("url"))).as("host"),
+        col("html").cast("string").as("body"),
+        col("url"))
+    parseAll(
+      robotsRows.groupBy(col("host")).agg(min_by(col("body"), col("url")).as("body")),
+      userAgent)
+  }
 }

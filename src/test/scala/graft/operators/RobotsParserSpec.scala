@@ -167,4 +167,37 @@ class RobotsParserSpec extends AnyFunSuite {
     val out = RobotsFilter.filterAllowed(pending, dim).select("url").as[String].collect().sorted
     assert(out.toSeq == Seq("https://norobots.com/z", "https://open.com/y"))
   }
+
+  test("fromPages: the robots dimension self-assembles from crawled /robots.txt pages") {
+    import spark.implicits._
+    def b(s: String): Array[Byte] = s.getBytes("UTF-8")
+    val pages = Seq(
+      ("https://a.example/robots.txt", b("User-agent: *\nDisallow: /private/\nCrawl-delay: 2")),
+      ("https://a.example/page1", b("<html>not robots</html>")),
+      // NOT the root robots.txt (RFC 9309 §2.3): content, not policy
+      ("https://b.example/sub/robots.txt", b("User-agent: *\nDisallow: /")),
+      // named group beats *
+      ("https://c.example/robots.txt", b("User-agent: graftbot\nDisallow: /x\nUser-agent: *\nDisallow: /")),
+      // one host serving robots under two urls: deterministic min-by-url pick
+      ("http://d.example/robots.txt", b("User-agent: *\nDisallow: /http")),
+      ("https://d.example/robots.txt", b("User-agent: *\nDisallow: /https"))
+    ).toDF("url", "html")
+
+    val entries = RobotsParser.fromPages(pages).collect().map(e => e.host -> e).toMap
+    assert(entries.keySet == Set("a.example", "c.example", "d.example"))
+    assert(entries("a.example").rules == Seq(RobotsRule(allow = false, "/private/")))
+    assert(entries("a.example").crawl_delay == 2.0)
+    assert(entries("c.example").rules == Seq(RobotsRule(allow = false, "/x")))
+    assert(entries("d.example").rules == Seq(RobotsRule(allow = false, "/http")))
+
+    // end-to-end: the discovered dimension drives the filter; b.example has
+    // no (root) robots entry so it stays default-allowed
+    val pending = Seq(
+      (1L, "a.example", "https://a.example/private/x"),
+      (2L, "a.example", "https://a.example/ok"),
+      (3L, "b.example", "https://b.example/anything")).toDF("url_hash", "host", "url")
+    val allowed = RobotsFilter.filterAllowed(pending, RobotsParser.fromPages(pages))
+      .select("url_hash").as[Long].collect().toSet
+    assert(allowed == Set(2L, 3L))
+  }
 }
