@@ -151,6 +151,28 @@ final class CrawlDriver(
     "CrawlConfig.enrich=true but the lake's bucketed 'extracted' schema has no " +
       "enrichment columns — build it with CrawlLake.forCrawl(..., enrich = true)")
 
+  // Fail fast on seen-geometry drift across resumes: segments are keyed by
+  // pmod(url_hash, P), so resuming with a different seenPartitions than the
+  // stored segments were built with makes candidates cogroup with the WRONG
+  // (or no) segment — seen URLs probe maybe=false, skip the exact confirm,
+  // and are silently readmitted (duplicate crawling, duplicate frontier
+  // rows). Growing P passes every range check, so nothing downstream would
+  // catch it (round-5 review). init() records P; resume validates it.
+  // Lakes created before this record skip the check (tolerant), as do
+  // fresh lakes (the file is written by init).
+  private val seenMetaPath = java.nio.file.Paths.get(lake.root, "seen_meta.json")
+  locally {
+    if (java.nio.file.Files.exists(seenMetaPath)) {
+      val txt = java.nio.file.Files.readString(seenMetaPath)
+      "\"p\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt).foreach { stored =>
+        require(stored == cfg.seenPartitions,
+          s"seen set was built with seenPartitions=$stored but this driver is configured " +
+            s"with ${cfg.seenPartitions} — the partitioned probe would silently mis-route; " +
+            "resume with the original P (or rebuild the seen set from the frontier)")
+      }
+    }
+  }
+
   private val frontierSchema = Encoders.product[FrontierEntry].schema
   private val fetchSchema = Encoders.product[FetchRecord].schema
   private val extractedSchema = Encoders.product[Extracted].schema
@@ -314,6 +336,9 @@ final class CrawlDriver(
     val frontierDf = spark.createDataset(distinctSeeds).toDF()
     val segments = SeenSet.buildDeltaSegments(
       frontierDf.select("url_hash"), cfg.seenPartitions, cfg.expectedPerSegment, kind = cfg.seenKind)
+    // record the seen-set geometry for the resume-time drift guard above
+    java.nio.file.Files.writeString(seenMetaPath,
+      s"""{"p":${cfg.seenPartitions},"kind":"${cfg.seenKind}"}""")
     lake.commit(0L, appends = Map("frontier" -> frontierDf), replaces = Map("seen" -> segments.toDF()))
   }
 

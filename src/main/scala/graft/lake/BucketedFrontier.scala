@@ -24,22 +24,29 @@ object BucketedFrontier {
 
   val DefaultBuckets = 32
 
-  /** (Re)write a DataFrame as a url_hash-bucketed catalog table. Clears any
-    * orphan warehouse location first (the in-memory catalog forgets tables
-    * across JVMs while their directories persist). */
+  /** (Re)write a DataFrame as a url_hash-bucketed catalog table. On
+    * Overwrite (the default) the table AND any orphan warehouse location
+    * are cleared first (the in-memory catalog forgets tables across JVMs
+    * while their directories persist); on Append an existing table keeps
+    * its rows and only a fresh table's orphan location is cleared —
+    * the drop must not run, or `mode` would silently destroy data
+    * (round-5 review). */
   def writeBucketed(
       df: DataFrame,
       table: String,
       buckets: Int = DefaultBuckets,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val orphan = java.nio.file.Paths.get(warehouse, table.toLowerCase(java.util.Locale.ROOT))
-    if (java.nio.file.Files.exists(orphan)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(orphan).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+    val overwrite = mode == SaveMode.Overwrite
+    if (overwrite) spark.sql(s"DROP TABLE IF EXISTS $table")
+    if (overwrite || !spark.catalog.tableExists(table)) {
+      val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val orphan = java.nio.file.Paths.get(warehouse, table.toLowerCase(java.util.Locale.ROOT))
+      if (java.nio.file.Files.exists(orphan)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(orphan).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
     df.write
       .mode(mode)

@@ -202,6 +202,17 @@ final class CrawlLake(
     require(
       replaces.keySet.intersect(bucketed.keySet).isEmpty,
       "bucketed tables are append-only (partition-per-batch); replace unsupported")
+    require(
+      appends.keySet.intersect(replaces.keySet).isEmpty,
+      s"table(s) ${appends.keySet.intersect(replaces.keySet).mkString(", ")} appear in both " +
+        "appends and replaces — their concurrent writes would race on one batch dir")
+    // scrub crash leftovers for bucketed tables this commit does NOT write:
+    // their per-write idempotency drop (writeBucketedPartition) never runs,
+    // yet publishing batchId makes an orphan _pbatch=batchId partition from
+    // a crashed earlier attempt visible (round-5 review; commitEmptyTick
+    // handled the all-tables-absent case, this closes the partial one).
+    // No-op with zero Spark jobs when nothing is left over.
+    bucketed.keys.filterNot(appends.contains).toSeq.sorted.foreach(dropPartition(_, batchId))
     val updated = scala.collection.mutable.Map[String, Vector[String]](prev.toSeq: _*)
     val futures =
       appends.toSeq.map {

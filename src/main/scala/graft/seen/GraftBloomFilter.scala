@@ -19,7 +19,14 @@ import graft.util.XxHash64
   * ~18 GB spread across the cluster, never materialized on the driver.
   *
   * Double hashing (Kirsch–Mitzenmatcher): index_i = h1 + i·h2 mod m, with
-  * h1 = key, h2 = xxh64(key) — no per-probe rehash of the key bytes.
+  * h1 = xxh64(key, seed1), h2 = xxh64(key, seed2) — no per-probe rehash of
+  * the key bytes. h1 MUST be the mixed key, not the raw key (v2 format):
+  * every key in a segment shares `url_hash ≡ pid (mod P)`, so a raw-key
+  * first probe concentrated in a coset of size numBits/gcd(P, numBits)
+  * (half the bit array for the default even numBits), densifying those
+  * bits and inflating measured FPR past the configured fpp — the same
+  * low-bits-structure bug class the cuckoo filter's v1 bucket layout had
+  * (round-5 review).
   */
 final class GraftBloomFilter private (
     val numBits: Long,
@@ -31,7 +38,7 @@ final class GraftBloomFilter private (
   def insert(key: Long): Unit = {
     val h2 = XxHash64.hashLong(key, GraftBloomFilter.H2Seed)
     var i = 0
-    var combined = key
+    var combined = XxHash64.hashLong(key, GraftBloomFilter.H1Seed)
     while (i < numHashes) {
       val bit = (combined & Long.MaxValue) % numBits
       words((bit >>> 6).toInt) |= (1L << (bit & 63))
@@ -44,7 +51,7 @@ final class GraftBloomFilter private (
   def mightContain(key: Long): Boolean = {
     val h2 = XxHash64.hashLong(key, GraftBloomFilter.H2Seed)
     var i = 0
-    var combined = key
+    var combined = XxHash64.hashLong(key, GraftBloomFilter.H1Seed)
     while (i < numHashes) {
       val bit = (combined & Long.MaxValue) % numBits
       if ((words((bit >>> 6).toInt) & (1L << (bit & 63))) == 0L) return false
@@ -77,11 +84,19 @@ final class GraftBloomFilter private (
 }
 
 object GraftBloomFilter {
-  private[seen] final val Magic = 0x47424c4d // "GBLM"
+  private[seen] final val Magic = 0x47424c32 // "GBL2"
+  private[seen] final val MagicV1 = 0x47424c4d // "GBLM" (retired: raw-key h1, coset-biased)
+  private[seen] final val H1Seed = 0x165667b1L
   private[seen] final val H2Seed = 0x27d4eb2fL
 
+  /** The serialization header is 24 bytes and the byte array length is an
+    * Int, so the largest serializable filter is (Int.MaxValue-24)/8 words —
+    * create() enforces the SERIALIZABLE bound, not the in-memory one (a
+    * filter that can't survive its first Spark agg serialize is useless). */
+  private[seen] final val MaxNumBits = ((Int.MaxValue.toLong - 24) / 8) * 64
+
   def create(numBits: Long, numHashes: Int): GraftBloomFilter = {
-    require(numBits > 0 && numBits <= (Int.MaxValue.toLong - 8) * 64, s"numBits out of range: $numBits")
+    require(numBits > 0 && numBits <= MaxNumBits, s"numBits out of range: $numBits")
     require(numHashes > 0 && numHashes <= 64)
     new GraftBloomFilter(numBits, numHashes, new Array[Long](((numBits + 63) >>> 6).toInt))
   }
@@ -101,6 +116,9 @@ object GraftBloomFilter {
   def deserialize(bytes: Array[Byte]): GraftBloomFilter = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val magic = bb.getInt
+    require(magic != MagicV1,
+      "bloom segment uses the retired v1 hash layout (GBLM, raw-key h1); it cannot be " +
+        "probed by this build — rebuild the seen set (mergeSegments from the exact frontier)")
     require(magic == Magic, f"not a graft bloom segment (magic 0x$magic%08x)")
     val k = bb.getInt
     val numBits = bb.getLong

@@ -190,13 +190,11 @@ object GraftCuckooFilter {
     new GraftCuckooFilter(log2Buckets, new Array[Short]((1 << log2Buckets) * SlotsPerBucket))
   }
 
-  /** Capacity for n keys at ~95% max load factor. */
-  def forExpected(n: Long): GraftCuckooFilter = {
-    val buckets = math.max(2L, math.ceil(n / (SlotsPerBucket * 0.95)).toLong)
-    var lg = 1
-    while ((1L << lg) < buckets) lg += 1
-    create(lg)
-  }
+  /** Capacity for n keys at ~95% max load factor — delegates to
+    * [[log2BucketsForExpected]], THE single geometry formula (a second
+    * slightly-different sizing here could diverge by one bucket step and
+    * make same-n filters un-mergeable; round-5 review). */
+  def forExpected(n: Long): GraftCuckooFilter = create(log2BucketsForExpected(n))
 
   /** log2Buckets sizing n keys at ~95% load — the single geometry formula
     * shared by the build aggregate and segment compaction (a cuckoo merge

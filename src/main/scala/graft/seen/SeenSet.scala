@@ -65,6 +65,13 @@ object SeenSet {
     * scales with P, not with total segment bytes. Both paths feed the same
     * single conditioned anti-join, so semantics are identical (spec-asserted
     * against [[filterNewExact]]).
+    *
+    * Convenience form: evaluates `segments` twice (size aggregate, then
+    * collect on the broadcast path) and leans on the ContextCleaner to
+    * reclaim the broadcast it creates. A tick LOOP should instead track
+    * the size across ticks and own the broadcast lifecycle — that dispatch
+    * lives in `CrawlDriver.probeSeen` (destroys the previous generation at
+    * the next probe; `close()` releases the last one).
     */
   def filterNew(
       candidates: Dataset[FrontierEntry],
@@ -206,7 +213,11 @@ object SeenSet {
       .groupByKey(_._1)
       .mapGroups { (pid, rows) =>
         val keys = rows.map(_._2).toArray
-        Segment(pid, GraftLongList.serialize(keys), keys.length.toLong)
+        val blob = GraftLongList.serialize(keys) // sorts + dedups
+        // n_items from the DEDUPED blob (header 8B + 8B/key), not the raw
+        // input count — a batch with repeated hashes must not overstate
+        // the sizes that flow into compaction accounting (round-5 review)
+        Segment(pid, blob, ((blob.length - 8) / 8).toLong)
       }
   }
 

@@ -278,27 +278,70 @@ object SeenSegments {
       if (!placed) filters += ((bytes, n))
     }
 
-    if (filters.isEmpty) {
-      if (keys.isEmpty) Seq.empty
-      else {
-        val listBytes = 8L + 8L * keys.length
-        if (listBytes <= filterBytesFor(kind, expectedPerSegment, fpp))
-          Seq((GraftLongList.serialize(keys), keys.length.toLong))
-        else buildFilterFromKeys(keys, kind, expectedPerSegment, fpp)
-      }
-    } else if (keys.isEmpty) filters.toSeq
+    if (filters.isEmpty) segsFromKeys(keys, kind, expectedPerSegment, fpp)
+    else if (keys.isEmpty) filters.toSeq
     else {
       // 2. fold the delta keys into the first (largest-capacity-first is not
-      //    needed: all same configured geometry) filter; cuckoo overflow
-      //    becomes a standalone exact-list segment
-      val (folded, overflow) = insertKeysInto(filters.head._1, keys)
-      val out = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)](
-        (folded, filters.head._2 + (keys.length - overflow.length)))
-      out ++= filters.drop(1)
-      if (overflow.nonEmpty) out += ((GraftLongList.serialize(overflow), overflow.length.toLong))
-      out.toSeq
+      //    needed: all same configured geometry) filter — but NEVER past a
+      //    Bloom's design capacity: unlike cuckoo (whose failed inserts
+      //    surface as overflow), Bloom inserts silently saturate bits, and
+      //    once itemsInserted ≫ expected the segment's FPR walks toward 1 —
+      //    every candidate then takes the exact-confirm anti-join against
+      //    the 10^10-row frontier and the pre-screen is dead weight
+      //    (round-5 review). When the fold would overfill, the keys become
+      //    their own segment(s) instead: the probe already ORs a
+      //    partition's whole stack, so correctness is unchanged and each
+      //    segment keeps its configured fpp; a partition converges to
+      //    ~⌈keys/expected⌉ full filters + one partial (the pairwise merge
+      //    in step 1 keeps gluing undersized siblings back together).
+      if (bloomHeadroom(filters.head._1) >= keys.length) {
+        val (folded, overflow) = insertKeysInto(filters.head._1, keys)
+        val out = scala.collection.mutable.ArrayBuffer[(Array[Byte], Long)](
+          (folded, filters.head._2 + (keys.length - overflow.length)))
+        out ++= filters.drop(1)
+        // cuckoo saturation spill: a standalone EXACT list (the next
+        // compaction's pure-list rule converts it if it outgrows a filter)
+        if (overflow.nonEmpty)
+          out += ((GraftLongList.serialize(overflow), overflow.length.toLong))
+        out.toSeq
+      } else filters.toSeq ++ segsFromKeys(keys, kind, expectedPerSegment, fpp)
     }
   }
+
+  /** Segment(s) for a raw key set with no target filter: an exact list
+    * while that is the smaller (and zero-FPR) representation, else filters
+    * at the configured geometry. */
+  private def segsFromKeys(
+      keys: Array[Long],
+      kind: String,
+      expectedPerSegment: Long,
+      fpp: Double): Seq[(Array[Byte], Long)] =
+    if (keys.isEmpty) Seq.empty
+    else {
+      val listBytes = 8L + 8L * keys.length
+      if (listBytes <= filterBytesFor(kind, expectedPerSegment, fpp))
+        Seq((GraftLongList.serialize(keys), keys.length.toLong))
+      else buildFilterFromKeys(keys, kind, expectedPerSegment, fpp)
+    }
+
+  /** Design capacity of a serialized BLOOM segment, derived from its OWN
+    * stored geometry (n = m·ln2/k — exact at optimal sizing, so a filter
+    * built for a larger key set self-describes its larger capacity).
+    * Header layout: magic(4) k(4) numBits(8) itemsInserted(8). */
+  private def bloomCapacity(bytes: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
+    val k = bb.getInt
+    val numBits = bb.getLong
+    math.max(1L, (numBits * math.log(2) / k).toLong)
+  }
+
+  /** Remaining insert capacity of a serialized BLOOM segment before it
+    * exceeds its design load (fixed header offsets — no word-array copy).
+    * Non-bloom segments have their own overflow handling and report
+    * unlimited headroom here. */
+  private def bloomHeadroom(bytes: Array[Byte]): Long =
+    if (magicOf(bytes) != GraftBloomFilter.Magic) Long.MaxValue
+    else math.max(0L, bloomCapacity(bytes) - java.nio.ByteBuffer.wrap(bytes, 16, 8).getLong)
 
   /** Merge two serialized FILTER segments when kind+geometry allow; None
     * when they must stay separate (mixed kinds, geometry drift, or a cuckoo
@@ -307,11 +350,18 @@ object SeenSegments {
   private def tryMergeFilters(a: Array[Byte], b: Array[Byte]): Option[Array[Byte]] =
     (magicOf(a), magicOf(b)) match {
       case (GraftBloomFilter.Magic, GraftBloomFilter.Magic) =>
-        val fa = GraftBloomFilter.deserialize(a)
-        val fb = GraftBloomFilter.deserialize(b)
-        if (fa.numBits == fb.numBits && fa.numHashes == fb.numHashes)
-          Some(fa.mergeInPlace(fb).serialized)
-        else None
+        // same-capacity gate as the delta fold: OR-merging two well-loaded
+        // Blooms doubles the bit density and degrades FPR quadratically —
+        // siblings past the combined design load stay side by side (the
+        // probe ORs the stack), exactly like unmergeable cuckoo pairs
+        if (bloomHeadroom(a) < java.nio.ByteBuffer.wrap(b, 16, 8).getLong) None
+        else {
+          val fa = GraftBloomFilter.deserialize(a)
+          val fb = GraftBloomFilter.deserialize(b)
+          if (fa.numBits == fb.numBits && fa.numHashes == fb.numHashes)
+            Some(fa.mergeInPlace(fb).serialized)
+          else None
+        }
       case (GraftCuckooFilter.Magic, GraftCuckooFilter.Magic) =>
         val fa = GraftCuckooFilter.deserialize(a)
         val fb = GraftCuckooFilter.deserialize(b)

@@ -116,10 +116,17 @@ object ScaleBench {
     if (!sys.env.contains("GRAFT_NOWARMUP"))
       runOnce(cpus, math.min(nPages / 8, 30000L), math.max(budget / 4, 20), 1)
 
+    // ambient sentinel before AND after the measured run (round-5 bench
+    // methodology): 0.315 s idle-core constant — a stretched sentinel marks
+    // a degraded host window in the artifact itself (BENCH_r05 showed 3 of
+    // 7 same-config runs at ~60% throughput from host steal alone)
+    val sentBefore = CrawlHeadline.sentinel()
     val r = runOnce(cpus, nPages, budget, ticks)
+    val sentAfter = CrawlHeadline.sentinel()
     println(
       s"""{"bench":"scale","cpus":$cpus,"n_pages":$nPages,"ticks":$ticks,"budget":$budget,
          |"fetched":${r.fetched},"wall_s":${f"${r.wallS}%.2f"},
-         |"fetched_per_sec":${f"${r.fetchPerSec}%.1f"}}""".stripMargin.replace("\n", ""))
+         |"fetched_per_sec":${f"${r.fetchPerSec}%.1f"},
+         |"sentinel_s":[${f"$sentBefore%.3f"},${f"$sentAfter%.3f"}]}""".stripMargin.replace("\n", ""))
   }
 }

@@ -423,6 +423,22 @@ class CrawlDriverSpec extends AnyFunSuite {
     assert(driver.extracted.count() == stats.map(_.fetched).sum)
   }
 
+  test("resuming with a different seenPartitions fails fast (seen-geometry drift guard)") {
+    // round-5 review: segments are keyed by pmod(url_hash, P); resuming
+    // with a grown P passed every range check and silently readmitted
+    // already-seen URLs (candidates cogrouped with the wrong segment)
+    val root = Files.createTempDirectory("graft-pdrift").toString
+    val pagesDf = spark.createDataFrame(corpus.map(_.page))
+    val robotsDs = spark.createDataset(Seq.empty[graft.model.RobotsEntry])
+    def mk(p: Int) = new CrawlDriver(
+      spark, CrawlLake.forCrawl(root, spark, buckets = 8), pagesDf, robotsDs,
+      CrawlConfig(budget = 2, seenPartitions = p, expectedPerSegment = 4096))
+    mk(8).init(PageSynth.seeds(N, 3))
+    val e = intercept[IllegalArgumentException](mk(16))
+    assert(e.getMessage.contains("seenPartitions=8"))
+    mk(8).tick() // same P resumes fine
+  }
+
   test("extractedSince: CDC delta == full-diff, across lake compaction and TTL re-extractions") {
     // TTL re-extracts pages (multiple rows per url_hash at different
     // batches) and lakeCompactEvery folds the tick partitions that carried

@@ -48,6 +48,20 @@ class BucketedFrontierSpec extends AnyFunSuite {
     }
   }
 
+  test("writeBucketed honors SaveMode.Append: existing rows survive") {
+    // round-5 review: the unconditional DROP TABLE + dir delete made the
+    // mode parameter a lie — Append silently destroyed all prior rows
+    val a = spark.createDataset((0L until 100L).map(fe)).toDF()
+    val b = spark.createDataset((100L until 150L).map(fe)).toDF()
+    BucketedFrontier.writeBucketed(a, "bf_append_t", buckets = 4)
+    BucketedFrontier.writeBucketed(b, "bf_append_t", buckets = 4,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    assert(spark.table("bf_append_t").count() == 150L)
+    // and Overwrite still replaces
+    BucketedFrontier.writeBucketed(b, "bf_append_t", buckets = 4)
+    assert(spark.table("bf_append_t").count() == 50L)
+  }
+
   test("bucketed seen-confirm join is also shuffle-free on the probe side") {
     val candidates = spark.createDataset((4500L until 5500L).map(fe)).toDF()
     BucketedFrontier.writeBucketed(candidates, "bf_candidates", buckets = 8)

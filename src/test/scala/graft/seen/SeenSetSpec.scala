@@ -313,6 +313,72 @@ class SeenSetSpec extends AnyFunSuite {
       .foreach(k => assert(probes.exists(_(k)), s"lost $k across spill"))
   }
 
+  test("compactStack: a bloom at design capacity is never overfilled — keys stack beside it") {
+    // round-5 review: folding deltas into a full Bloom silently walks its
+    // FPR toward 1 (the pre-screen collapses to the exact path); past the
+    // design load the keys must become their own segment instead
+    val expected = 1024L
+    val full = GraftBloomFilter.forExpected(expected, 1e-3)
+    (0L until expected).foreach(i => full.insert(XxHash64.hashLong(i, 11L)))
+    val delta = (5000L until 5512L).map(XxHash64.hashLong(_, 11L)).toArray
+    val out = SeenSegments.compactStack(
+      Seq((full.serialized, expected), (GraftLongList.serialize(delta), delta.length.toLong)),
+      "bloom", expectedPerSegment = expected)
+    assert(out.size == 2, s"expected full filter + stacked keys, got ${out.size}")
+    val bloomSeg = out.find(s => magic(s._1) == GraftBloomFilter.Magic).get
+    // the full filter is byte-identical (untouched) and keeps its count
+    assert(java.util.Arrays.equals(bloomSeg._1, full.serialized) && bloomSeg._2 == expected)
+    // probing the stack still covers both populations
+    val probes = out.map(s => SeenSegments.probeFn(s._1))
+    ((0L until expected).map(XxHash64.hashLong(_, 11L)) ++ delta)
+      .foreach(k => assert(probes.exists(_(k)), s"lost $k"))
+    // and a HALF-full filter still folds in place (no gratuitous stacking)
+    val half = GraftBloomFilter.forExpected(expected, 1e-3)
+    (0L until expected / 4).foreach(i => half.insert(XxHash64.hashLong(i, 11L)))
+    val out2 = SeenSegments.compactStack(
+      Seq((half.serialized, expected / 4),
+        (GraftLongList.serialize(delta), delta.length.toLong)),
+      "bloom", expectedPerSegment = expected)
+    assert(out2.size == 1 && magic(out2.head._1) == GraftBloomFilter.Magic)
+  }
+
+  test("compactStack: two well-loaded blooms stay side by side; undersized siblings still merge") {
+    def filled(n: Long, seed: Long): GraftBloomFilter = {
+      val f = GraftBloomFilter.forExpected(1024, 1e-3)
+      (0L until n).foreach(i => f.insert(XxHash64.hashLong(i, seed)))
+      f
+    }
+    val outFull = SeenSegments.compactStack(
+      Seq((filled(1000, 1L).serialized, 1000L), (filled(1000, 2L).serialized, 1000L)),
+      "bloom", 1024)
+    assert(outFull.size == 2, "OR-merging two near-full blooms would double bit density")
+    val outSmall = SeenSegments.compactStack(
+      Seq((filled(300, 1L).serialized, 300L), (filled(300, 2L).serialized, 300L)),
+      "bloom", 1024)
+    assert(outSmall.size == 1, "undersized same-geometry siblings must still merge")
+  }
+
+  test("bloom FPR holds at design rate even when every key shares url_hash mod P") {
+    // round-5 review: h1 must be the MIXED key — segment members all share
+    // url_hash ≡ pid (mod P), and a raw-key first probe concentrated in a
+    // coset of the bit array, inflating FPR ~1.5x past the configured fpp
+    val p = 64
+    val n = 4096
+    val f = GraftBloomFilter.forExpected(n, 1e-3)
+    // members: keys ≡ 7 (mod 64)
+    (0 until n).foreach(i => f.insert(7L + 64L * i))
+    var fp = 0
+    val probes = 200000
+    var j = 0
+    while (j < probes) {
+      val k = 7L + 64L * (1000000L + j) // same residue class, disjoint range
+      if (f.mightContain(k)) fp += 1
+      j += 1
+    }
+    val fpr = fp.toDouble / probes
+    assert(fpr <= 1.35e-3, f"coset-biased FPR $fpr%.2e exceeds design 1e-3 + noise margin")
+  }
+
   test("compactStack: unmergeable filter geometries stay side by side") {
     val a = GraftBloomFilter.forExpected(1000, 1e-3); a.insert(1L)
     val b = GraftBloomFilter.forExpected(5000, 1e-3); b.insert(2L)
