@@ -327,9 +327,13 @@ final class CrawlDriver(
   def init(seeds: Seq[Seed]): Long = {
     val seedRows = seeds.zipWithIndex.map { case (s, i) =>
       val cu = graft.util.UrlCanonicalizer.canonicalize(s.url)
+      // honor the caller's discovery_ts (SitemapParser.toSeeds derives it
+      // from lastmod so the schedule chain prioritizes by it — stamping
+      // tickTs(0) here silently flattened that to seed-list order;
+      // round-5 review). Plain seed lists pass warcTs(0) == tickTs(0).
       FrontierEntry(
         graft.util.UrlCanonicalizer.urlHash(s.url), cu,
-        graft.util.UrlCanonicalizer.host(cu), s.depth, tickTs(0L), i.toLong, 0L, s.depth.toDouble)
+        graft.util.UrlCanonicalizer.host(cu), s.depth, s.discovery_ts, i.toLong, 0L, s.depth.toDouble)
     }
     // first-seed-wins on duplicate canonical urls
     val distinctSeeds = seedRows.groupBy(_.url_hash).map(_._2.minBy(_.seq_in_page)).toSeq
@@ -411,6 +415,11 @@ final class CrawlDriver(
         pageExpr.getField("links").as("links"))
       .persist(cfg.persistLevel)
     mark("processed")
+    // everything from here holds the persisted working set: release it even
+    // when a tick fails mid-flight (a long-lived driver whose caller
+    // retries ticks must not accumulate one cached fetch output per failed
+    // attempt; round-5 review)
+    try {
     val missing = scheduled.join(processed.select("url_hash"), Seq("url_hash"), "left_anti")
 
     val fetchRows = processed
@@ -506,16 +515,23 @@ final class CrawlDriver(
     val stats =
       if (cfg.collectStats) {
         val fetchedCount = processed.count()
+        // discovered = total links extracted this tick (pre-filter,
+        // pre-dedup) — a cached-read aggregate; the field was hardcoded 0
+        // and every metrics consumer read a dead stat (round-5 review)
+        val discoveredCount = processed
+          .agg(coalesce(sum(size(col("links"))), lit(0)).cast("long"))
+          .head().getLong(0)
         TickStats(batchId, scheduledCount, fetchedCount,
-          failed = scheduledCount - fetchedCount, discovered = 0L,
+          failed = scheduledCount - fetchedCount, discovered = discoveredCount,
           admittedNew = admittedCount)
       } else TickStats(batchId, scheduledCount, scheduledCount, 0L, 0L, admittedCount)
 
     // seen-set maintenance: exact delta lists per tick, folded into the
     // filter segments every seenCompactEvery ticks (judge item 4: a full
-    // P-segment rewrite per tick was delta-independent write amplification)
+    // P-segment rewrite per tick was delta-independent write amplification;
+    // 0 = never fold, matching lakeCompactEvery's 0-is-off convention)
     val deltaSegments = SeenSet.buildDeltaList(fresh.select("url_hash"), cfg.seenPartitions)
-    val compactTick = batchId % cfg.seenCompactEvery.toLong == 0L
+    val compactTick = cfg.seenCompactEvery > 0 && batchId % cfg.seenCompactEvery.toLong == 0L
     val (seenAppend, seenReplace) =
       if (compactTick)
         (Map.empty[String, DataFrame],
@@ -537,17 +553,23 @@ final class CrawlDriver(
 
     if (sys.env.contains("GRAFT_TRACE"))
       println(f"[trace] tick $batchId total: ${(System.nanoTime() - tTrace) / 1e9}%.2fs")
-    // scheduled/fresh are localCheckpoints — their RDD blocks are reclaimed
-    // by the ContextCleaner once unreferenced; only processed holds a
-    // CacheManager entry to release
-    processed.unpersist()
+    compactLakeIfDue(batchId)
+    stats
+    } finally {
+      // scheduled/fresh are localCheckpoints — their RDD blocks are
+      // reclaimed by the ContextCleaner once unreferenced; only processed
+      // holds a CacheManager entry to release
+      processed.unpersist()
+    }
+  }
 
+  /** Fold the lake's bucketed tick partitions when the cadence is due —
+    * shared by the full and empty tick paths (they must never diverge). */
+  private def compactLakeIfDue(batchId: Long): Unit =
     if (cfg.lakeCompactEvery > 0 && batchId % cfg.lakeCompactEvery.toLong == 0L) {
       lake.bucketed.keys.toSeq.sorted.foreach(lake.compactBucketed)
       if (!lake.bucketed.contains("extracted")) lake.compactTable("extracted")
     }
-    stats
-  }
 
   /** Empty-schedule tick: identical snapshot TRAJECTORY to the full path on
     * empty inputs, with zero Spark write jobs on non-compact ticks — an
@@ -562,22 +584,20 @@ final class CrawlDriver(
     // leftovers first, or they'd become visible as the manifest advances
     // (no-op, zero Spark jobs, in the normal case)
     lake.dropCrashLeftovers(batchId)
-    val compactTick = batchId % cfg.seenCompactEvery.toLong == 0L
+    val compactTick = cfg.seenCompactEvery > 0 && batchId % cfg.seenCompactEvery.toLong == 0L
     val seenReplace =
       if (!compactTick) Map.empty[String, DataFrame]
       else Map("seen" -> SeenSet.mergeSegments(
-        seenSegments,
-        SeenSet.buildDeltaList(
-          spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](), frontierSchema)
-            .select("url_hash"),
-          cfg.seenPartitions),
+        seenSegments, SeenSet.emptySegments(spark),
         cfg.seenKind, cfg.expectedPerSegment).toDF())
     lake.commit(batchId, appends = Map.empty, replaces = seenReplace)
-    if (cfg.lakeCompactEvery > 0 && batchId % cfg.lakeCompactEvery.toLong == 0L) {
-      lake.bucketed.keys.toSeq.sorted.foreach(lake.compactBucketed)
-      if (!lake.bucketed.contains("extracted")) lake.compactTable("extracted")
-    }
+    // mirror runBatch's post-compaction gate re-measure: a compaction can
+    // SHRINK the seen set below the broadcast gate, and in TTL/cooldown
+    // steady state EMPTY ticks carry most compactions — without this the
+    // driver stayed on the cogroup probe until a non-empty compact tick
+    // happened to land (round-5 review)
+    if (compactTick && seenBytes > cfg.seenBroadcastMaxBytes) seenBytes = -1L
+    compactLakeIfDue(batchId)
     TickStats(batchId, 0L, 0L, 0L, 0L, 0L)
   }
 

@@ -61,7 +61,12 @@ object ExprKernels {
     val s = new String(html, java.nio.charset.StandardCharsets.UTF_8)
     val doc = docRow(BlockGraphKernel.extractStr(s, blockCap))
     val linkArr: Array[String] =
-      if (sitemapAuto && graft.operators.SitemapParser.looksLikeSitemapStr(s))
+      // byte-window sniff, NOT the decoded string: linksAuto sniffs the
+      // first 2048 BYTES, and the parity contract ("bit-identical to the
+      // unfused pair") requires the same window here — a string-window
+      // sniff saw ~3x further into multi-byte pages and could route the
+      // two documented-equivalent paths differently (round-5 review)
+      if (sitemapAuto && graft.operators.SitemapParser.looksLikeSitemap(html))
         graft.operators.SitemapParser.sitemapLinksStr(s)
       else LinkKernel.extractLinksStr(s, if (base == null) "" else base.toString)
     new GenericInternalRow(Array[Any](

@@ -47,8 +47,26 @@ object LinkKernel {
         val c1 = html.charAt(lt + 1)
         if ((c1 == 'a' || c1 == 'A') &&
             (lt + 2 >= n || isTagNameEnd(html.charAt(lt + 2)))) {
-          val gt = html.indexOf('>', lt)
-          val tagEnd = if (gt < 0) n else gt
+          // quote-aware tag-end scan (HTML5 attribute-value-quoted state):
+          // a '>' inside a quoted attribute value is part of the value, so
+          // <a href="/p?q=a>b"> must not truncate at the inner '>' — the
+          // browser/a.href reference keeps the full value (round-5 review)
+          val tagEnd = {
+            var j = lt
+            var quote: Char = 0
+            var afterEq = false // quotes only OPEN in attribute-value position
+            var end = -1
+            while (end < 0 && j < n) {
+              val c = html.charAt(j)
+              if (quote != 0) { if (c == quote) quote = 0 }
+              else if (afterEq && (c == '"' || c == '\'')) { quote = c; afterEq = false }
+              else if (c == '=') afterEq = true
+              else if (c == '>') end = j
+              else if (!Character.isWhitespace(c)) afterEq = false
+              j += 1
+            }
+            if (end < 0) n else end
+          }
           val tag = html.substring(lt, tagEnd)
           findHref(tag).foreach(out += _)
           i = tagEnd + 1

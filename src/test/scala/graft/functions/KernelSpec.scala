@@ -37,6 +37,23 @@ class LinkKernelSpec extends AnyFunSuite {
   test("null html yields no links") {
     assert(LinkKernel.extractLinks(null, "https://h.com/").isEmpty)
   }
+
+  test("'>' inside a quoted attribute value does not truncate the tag (HTML5 quoted state)") {
+    // round-5 review: indexOf('>') landed inside the quoted href and the
+    // crawl admitted a mangled URL; the browser reference keeps the value
+    val html =
+      """<a href="/p?q=a>b">x</a>
+        |<a title="y>z" href='/gt'>g</a>
+        |<a href=/plain>p</a>""".stripMargin
+    assert(LinkKernel.extractHrefs(html).toSeq == Seq("/p?q=a>b", "/gt", "/plain"))
+  }
+
+  test("stray apostrophe in an unquoted attribute value does not open a quote") {
+    // quotes only open in attribute-value position (after '='); a naive
+    // toggle would scan past the real '>' hunting a closing quote
+    val html = """<a data-t=don't href="/ok">x</a><a href="/next">y</a>"""
+    assert(LinkKernel.extractHrefs(html).toSeq == Seq("/ok", "/next"))
+  }
 }
 
 /** FIXTURES.md A4 golden cases, each pinned to reference behavior
