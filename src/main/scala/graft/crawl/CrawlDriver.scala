@@ -239,6 +239,21 @@ final class CrawlDriver(
     lake.read("extracted", extractedReadSchema, untilSnapshotId)
       .where(col("batch_id") > lit(lake.batchIdOf(sinceSnapshotId)))
 
+  /** Frontier CDC twin of [[extractedSince]]: every URL ADMITTED after
+    * `sinceSnapshotId`. Frontier rows carry no commit-batch data column
+    * (and seed `discovery_ts` may be caller-supplied wall time), so the
+    * delta is the exact KEY-SET DIFFERENCE against the base snapshot —
+    * correct because the frontier is append-only with exactly one row per
+    * url_hash, and exchange-free because both sides are the url_hash-
+    * bucketed table. Unlike extractedSince this needs the base snapshot
+    * READABLE: a `since` older than the last frontier compaction throws
+    * the lake's expired-time-travel error (loudly, never a wrong delta). */
+  def frontierSince(sinceSnapshotId: Long, untilSnapshotId: Option[Long] = None): DataFrame =
+    lake.read("frontier", frontierSchema, untilSnapshotId)
+      .join(
+        lake.read("frontier", frontierSchema, Some(sinceSnapshotId)).select("url_hash"),
+        Seq("url_hash"), "left_anti")
+
   /** The tick's PENDING view — derived state, never mutated (state model
     * above). Exposed so specs can assert the co-partitioned plan; runBatch
     * uses exactly this frame. */
@@ -466,11 +481,16 @@ final class CrawlDriver(
       .getOrElse(rawLinks)
       .where(col("src_depth") + 1 <= cfg.maxDepth)
 
+    // fused link identity: hash + canonical url + host from ONE
+    // canonicalization per discovered link (the unfused triple
+    // canonicalized the same string up to 3x in the hottest per-link path;
+    // bit-identical, parity-tested — round-5 review)
+    val li = link_identity(col("link"))
     val candidates = filteredLinks
       .select(
-        url_hash64(col("link")).as("url_hash"),
-        canonicalize_url(col("link")).as("url"),
-        url_host(canonicalize_url(col("link"))).as("host"),
+        li.getField("url_hash").as("url_hash"),
+        li.getField("url").as("url"),
+        li.getField("host").as("host"),
         (col("src_depth") + 1).as("depth"),
         lit(ts).as("discovery_ts"),
         col("seq_in_page").cast("long").as("seq_in_page"),

@@ -73,6 +73,18 @@ object ExprKernels {
       doc, new GenericArrayData(linkArr.map(x => UTF8String.fromString(x): AnyRef))))
   }
 
+  /** Fused link identity: canonicalize ONCE, derive hash + host from the
+    * canonical form (urlHash(raw) ≡ xxh64(canonicalize(raw)), and host is
+    * defined over the canonical url — so this is exactly the unfused
+    * triple at a third of the canonicalization cost). */
+  def linkIdentity(url: UTF8String): InternalRow = {
+    val cu = UrlCanonicalizer.canonicalize(url.toString)
+    new GenericInternalRow(Array[Any](
+      graft.util.XxHash64.hashUtf8(cu),
+      UTF8String.fromString(cu),
+      UTF8String.fromString(UrlCanonicalizer.host(cu))))
+  }
+
   def canonicalize(url: UTF8String): UTF8String =
     UTF8String.fromString(UrlCanonicalizer.canonicalize(url.toString))
 

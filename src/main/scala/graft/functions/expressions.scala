@@ -91,6 +91,34 @@ object ExtractDocument {
     StructField("data", MapType(StringType, StringType, valueContainsNull = false), nullable = false)))
 }
 
+/** `link_identity(url)` → struct<url_hash: bigint, url: string,
+  * host: string> — the full crawl identity of one discovered link with ONE
+  * canonicalization. The unfused triple `url_hash64(l)` /
+  * `canonicalize_url(l)` / `url_host(canonicalize_url(l))` canonicalized
+  * the same string up to three times per discovered link — the hottest
+  * per-link path in the tick loop (10^2 links/page × page count, every
+  * tick; round-5 review). Bit-identical to the composition
+  * (parity-tested in ExpressionsSpec); codegen subexpression elimination
+  * evaluates the struct once for all three projected fields, the same
+  * fusion contract [[ExtractPage]] relies on. */
+case class LinkIdentity(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LinkIdentity.schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "link_identity"
+  override protected def nullSafeEval(url: Any): Any =
+    ExprKernels.linkIdentity(url.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, u => s"graft.functions.ExprKernels.linkIdentity($u)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object LinkIdentity {
+  val schema: StructType = StructType(Seq(
+    StructField("url_hash", LongType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("host", StringType, nullable = false)))
+}
+
 /** `canonicalize_url(url)` → canonical string form (dedup identity). */
 case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -170,6 +198,9 @@ object GraftFunctions {
 
   def url_host(url: Column): Column =
     ExpressionUtils.column(UrlHost(ExpressionUtils.expression(url)))
+
+  def link_identity(url: Column): Column =
+    ExpressionUtils.column(LinkIdentity(ExpressionUtils.expression(url)))
 
   def resolve_url(base: Column, href: Column): Column =
     ExpressionUtils.column(ResolveUrl(ExpressionUtils.expression(base), ExpressionUtils.expression(href)))

@@ -20,7 +20,18 @@ object StreamingOps {
   /** E2-analog: a continuous stream of frontier deltas (new discoveries
     * landing as files under the lake's frontier dir) — replaces the
     * DynamoDB stream + `TRIM_HORIZON` + `batchSize: 1` consumption
-    * (`stack.ts:172-177`) with whole-delta micro-batches. */
+    * (`stack.ts:172-177`) with whole-delta micro-batches.
+    *
+    * SCOPE (round-5 review): this is a PATH-level file source — it tracks
+    * data files, not lake snapshots, so it is only delta-correct over a
+    * layout whose files are immutable-once-written and appended on commit:
+    * the dir-table layout with `lakeCompactEvery = 0`. Over the bucketed
+    * layout a compaction REWRITES every visible row into a fresh
+    * partition, which this source would re-emit as 10^10 "new" deltas, and
+    * files land before the manifest flips (a crashed commit's files are
+    * visible). Snapshot-consistent consumers use the batch CDC views —
+    * `CrawlDriver.extractedSince` / `frontierSince` — which read through
+    * the lake's MVCC layer. */
   def frontierDeltaStream(spark: SparkSession, frontierDir: String): DataFrame =
     spark.readStream
       .schema(Encoders.product[FrontierEntry].schema)

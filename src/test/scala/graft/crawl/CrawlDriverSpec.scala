@@ -439,6 +439,23 @@ class CrawlDriverSpec extends AnyFunSuite {
     mk(8).tick() // same P resumes fine
   }
 
+  test("frontierSince: admission delta == key-set diff; expired base throws, never lies") {
+    val cfg = CrawlConfig(budget = 2, seenPartitions = 8, expectedPerSegment = 4096)
+    val (driver, lake) = newDriver(cfg)
+    driver.init(PageSynth.seeds(N, 3))
+    driver.run(2)
+    val snap = lake.latestSnapshotId.get
+    val atSnap = driver.frontier.select("url_hash").as[Long].collect().toSet
+    driver.run(2)
+    val full = driver.frontier.select("url_hash").as[Long].collect().toSet
+    val delta = driver.frontierSince(snap).select("url_hash").as[Long].collect().toSet
+    assert(delta.nonEmpty && delta == full -- atSnap)
+    // after a frontier compaction the base snapshot is expired: the delta
+    // must fail loudly (expired time travel), never return a wrong set
+    lake.compactBucketed("frontier")
+    intercept[IllegalStateException](driver.frontierSince(snap).count())
+  }
+
   test("extractedSince: CDC delta == full-diff, across lake compaction and TTL re-extractions") {
     // TTL re-extracts pages (multiple rows per url_hash at different
     // batches) and lakeCompactEvery folds the tick partitions that carried

@@ -126,4 +126,38 @@ class ExpressionsSpec extends AnyFunSuite {
       .select($"d.text").as[String].head()
     assert(capped == "") // first block is a WORD, no LINE within cap 1
   }
+
+  test("link_identity == the unfused hash/canonical/host triple, field for field") {
+    // round-5 review: the fused expression replaces THREE canonicalizations
+    // per discovered link in the tick loop's hottest path — it must be
+    // bit-identical to the composition on every shape of input
+    val urls = Seq(
+      "HTTP://Example.COM:80/a/../b?q=1#frag",
+      "https://h.com/dir/page.html",
+      "https://h.com",
+      "relative/path.html",
+      "  https://pad.me/x  ",
+      "ftp://odd.scheme/z",
+      "https://host.com/p?q=a>b",
+      "")
+    val got = urls.toDF("u")
+      .select(
+        link_identity($"u").as("li"),
+        url_hash64($"u").as("h"),
+        canonicalize_url($"u").as("cu"),
+        url_host(canonicalize_url($"u")).as("host"))
+      .collect()
+    got.foreach { r =>
+      val li = r.getStruct(0)
+      assert(li.getLong(0) == r.getLong(1), s"hash mismatch for ${r}")
+      assert(li.getString(1) == r.getString(2), s"url mismatch for ${r}")
+      assert(li.getString(2) == r.getString(3), s"host mismatch for ${r}")
+    }
+    // and over the real corpus' extracted links, end to end
+    val links = pagesDf.select(explode(extract_links($"html", $"url")).as("u"))
+    val n = links
+      .select(link_identity($"u").as("li"), url_hash64($"u").as("h"))
+      .where($"li.url_hash" =!= $"h").count()
+    assert(n == 0L)
+  }
 }
