@@ -438,10 +438,13 @@ object Media {
   }
 
   /** STUB resize: deterministic truncate-or-cycle of the payload to a size
-    * proportional to w×h (stands in for a real scaler; plumbing real). */
+    * proportional to w×h (stands in for a real scaler; plumbing real).
+    * Total like every sibling stub: null/empty blobs yield an empty result
+    * instead of killing the task (round-5 review). */
   def resizeStub(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (bytes == null || bytes.isEmpty) return Array.emptyByteArray
     val target = math.max(16, (w * h) / 64)
-    Array.tabulate(target)(i => bytes(i % math.max(1, bytes.length)))
+    Array.tabulate(target)(i => bytes(i % bytes.length))
   }
 
   /** Frame sampling: n deterministic, evenly-spaced byte-range slices (the

@@ -147,6 +147,10 @@ object Similarity {
     while (iter < lloydIters) {
       val centroidRows = train
         .withColumn("cid", nearestCid(col("nbr_vec"), centroids))
+        // a ragged/null-element vector gets cid = null (VecKernels' ragged
+        // contract) — skip it rather than NPE in the driver collect on the
+        // null-cid group (round-5 review)
+        .where(col("cid").isNotNull)
         .groupBy(col("cid"))
         .agg(array((0 until dim).map(i =>
           avg(element_at(col("nbr_vec"), i + 1).cast("double"))): _*).as("cvec"))

@@ -53,7 +53,11 @@ object TextEnrich {
     var e = text.length
     while (s < e && text.charAt(s) == ' ') s += 1
     while (e > s && text.charAt(e - 1) == ' ') e -= 1
-    val lowered = text.substring(s, e).toLowerCase
+    // Locale.ROOT: default-locale toLowerCase breaks the bit-parity
+    // contract with Spark's locale-independent lower() under e.g. a
+    // Turkish JVM locale (I → ı), and made results differ across
+    // executors with different locales (round-5 review)
+    val lowered = text.substring(s, e).toLowerCase(java.util.Locale.ROOT)
     val n = lowered.length
     val sb = new java.lang.StringBuilder(n)
     var pendingWs = false

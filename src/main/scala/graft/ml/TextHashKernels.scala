@@ -136,20 +136,49 @@ object TextHashKernels {
     XxHash64.hashLong(h, 1315423911L)
   }
 
+  /** Per-(numBits, seed, dim) ±1 hyperplane matrix, memoized like
+    * [[coeffsFor]] — the signs are row-independent constants, and
+    * recomputing numBits×dim xxhashes per ROW was ~10^3 wasted hash calls
+    * per row on the ANN scan path (round-5 review). Values are identical
+    * to the on-the-fly derivation (sign of xxh64((j<<32)|i, seed)), so
+    * bucket assignments are bit-for-bit unchanged. */
+  private val rhSigns =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long, Int), Array[Double]]()
+  private def rhSignMatrix(numBits: Int, seed: Long, dim: Int): Array[Double] =
+    rhSigns.computeIfAbsent((numBits, seed, dim), key => {
+      val (nb, s, d) = key
+      val m = new Array[Double](nb * d)
+      var j = 0
+      while (j < nb) {
+        var i = 0
+        while (i < d) {
+          m(j * d + i) =
+            if ((XxHash64.hashLong((j.toLong << 32) | i.toLong, s) & 1L) == 0L) 1.0 else -1.0
+          i += 1
+        }
+        j += 1
+      }
+      m
+    })
+
   /** Random-hyperplane LSH bucket for an embedding: `numBits` sign bits of
     * dot products against deterministic ±1 hyperplanes (plane j component i
     * = sign of xxh64(seed, j, i)) — no stored plane matrix, reproducible on
-    * any executor. */
-  def rhLshBucket(vec: ArrayData, numBits: Int, seed: Long): Long = {
+    * any executor. `elemIsFloat` selects the element reader: reading an
+    * array<double> slot with getFloat returned 4 bytes of garbage and
+    * silently noised every bucket (round-5 review). */
+  def rhLshBucket(vec: ArrayData, numBits: Int, seed: Long, elemIsFloat: Boolean): Long = {
     val n = vec.numElements()
+    val signs = rhSignMatrix(numBits, seed, n)
     var bucket = 0L
     var j = 0
     while (j < numBits) {
       var dot = 0.0
+      val off = j * n
       var i = 0
       while (i < n) {
-        val sign = if ((XxHash64.hashLong((j.toLong << 32) | i.toLong, seed) & 1L) == 0L) 1.0 else -1.0
-        dot += sign * vec.getFloat(i)
+        val x = if (elemIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+        dot += signs(off + i) * x
         i += 1
       }
       if (dot > 0) bucket |= (1L << j)
@@ -204,15 +233,21 @@ case class DocFingerprint(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** `rh_lsh_bucket(embedding)` → bigint LSH bucket (random-hyperplane). */
+/** `rh_lsh_bucket(embedding)` → bigint LSH bucket (random-hyperplane);
+  * accepts array<float> or array<double> (the element reader is resolved
+  * from the child's type, mirroring VecDot/VecCosine). */
 case class RhLshBucket(child: Expression, numBits: Int, seed: Long) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "rh_lsh_bucket"
+  private def childIsFloat: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
   override protected def nullSafeEval(v: Any): Any =
-    TextHashKernels.rhLshBucket(v.asInstanceOf[ArrayData], numBits, seed)
+    TextHashKernels.rhLshBucket(v.asInstanceOf[ArrayData], numBits, seed, childIsFloat)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, v => s"graft.ml.TextHashKernels.rhLshBucket($v, $numBits, ${seed}L)")
+    defineCodeGen(ctx, ev, v => s"graft.ml.TextHashKernels.rhLshBucket($v, $numBits, ${seed}L, $childIsFloat)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

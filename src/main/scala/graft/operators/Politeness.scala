@@ -49,12 +49,20 @@ object Politeness {
     * `host_rank` (1-based within host). */
   def schedule(pending: DataFrame, budget: Int): DataFrame = {
     val w = Window.partitionBy(col("host")).orderBy(scheduleOrder: _*)
-    val cap =
-      if (pending.columns.contains("crawl_delay")) effectiveBudget(budget, col("crawl_delay"))
-      else lit(budget.toLong)
-    pending
+    // The LITERAL bound must appear as its own conjunct: Spark's
+    // InferWindowGroupLimit only plans the pre-shuffle per-host limit from
+    // a `rank <= literal` predicate, and the crawl_delay cap is a CASE
+    // expression — filtering on the cap alone silently dropped the
+    // WindowGroupLimit whenever robots rode along (i.e. on the REAL crawl
+    // path), shuffling the full frontier into the window (round-5 review;
+    // now plan-asserted in PolitenessSpec). cap <= budget always, so the
+    // conjunction is semantically identical.
+    val ranked = pending
       .withColumn("host_rank", row_number().over(w))
-      .where(col("host_rank") <= cap)
+      .where(col("host_rank") <= lit(budget.toLong))
+    (if (pending.columns.contains("crawl_delay"))
+      ranked.where(col("host_rank") <= effectiveBudget(budget, col("crawl_delay")))
+    else ranked)
       .drop("crawl_delay")
   }
 

@@ -79,7 +79,11 @@ object RobotsParser {
         field match {
           case "user-agent" =>
             if (inRules) close() // a UA line after rules starts a new group
-            agents += value.toLowerCase
+            // an EMPTY product token matches nothing (RFC 9309 §2.2.1) —
+            // recording it would create a named group whose "" prefix
+            // matches every crawler at specificity 0 and suppresses the
+            // `*` group entirely (round-5 review)
+            if (value.nonEmpty) agents += value.toLowerCase
           case "allow" | "disallow" if agents.nonEmpty =>
             inRules = true
             normalizePattern(value).foreach(p => rules += RobotsRule(field == "allow", p))

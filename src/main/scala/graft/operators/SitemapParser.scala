@@ -121,8 +121,11 @@ object SitemapParser {
       else cdata
     if (!unwrapped.contains('&')) unwrapped
     else unwrapped
-      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      // &amp; LAST: decoding it first re-decodes doubly-escaped entities
+      // (&amp;lt; must yield the literal '&lt;', not '<' — round-5 review)
+      .replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&apos;", "'")
+      .replace("&amp;", "&")
   }
 
   /** Spark stage over a fetched-sitemaps corpus `(url string, body string)`:
