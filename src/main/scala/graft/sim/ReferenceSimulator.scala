@@ -42,7 +42,11 @@ object ReferenceSimulator {
       seen: mutable.LinkedHashMap[String, String]): Seq[(String, String)] = {
     val downloadUrls = allHrefs.filter(_.contains("DownloadDocumentPDF"))
     val admitted = downloadUrls.slice(0, budget).map { downloadUrl =>
-      val documentId = downloadUrl.split("DocumentId=").last // JS .split().pop()
+      // JS .split().pop() keeps trailing empty strings; Scala's default
+      // split drops them, so a URL ending exactly in "DocumentId=" would
+      // pop the PREFIX instead of "" — limit -1 restores JS semantics
+      // (round-5 review; line-faithful to scrape-pdfs-from-website)
+      val documentId = downloadUrl.split("DocumentId=", -1).last
       seen.put(documentId, downloadUrl) // put-overwrite, last writer wins
       (documentId, downloadUrl)
     }

@@ -72,7 +72,9 @@ object PageSynth {
 
   def hostIdx(i: Long, cfg: Config): Int = {
     val r = bounded(h(cfg.seed, 1L, i), 100)
-    if (r < cfg.megaPct) 0 else 1 + bounded(h(cfg.seed, 2L, i), cfg.nHosts - 1)
+    // nHosts == 1: everything maps to host0 (bounded(_, 0) divided by zero)
+    if (r < cfg.megaPct || cfg.nHosts <= 1) 0
+    else 1 + bounded(h(cfg.seed, 2L, i), cfg.nHosts - 1)
   }
 
   def hostName(hIdx: Int): String = s"host$hIdx.example.com"
@@ -104,9 +106,12 @@ object PageSynth {
 
   def linkTargets(i: Long, nPages: Long, cfg: Config): Vector[Long] = {
     val n = 3 + bounded(h(cfg.seed, 4L, i), 4)
-    (0 until n).map { j =>
-      bounded(h(cfg.seed, 5L, i, j.toLong), math.max(1, nPages.toInt)).toLong
-    }.toVector
+    // Long modulus: `nPages.toInt` silently collapsed the link graph to a
+    // star for corpora >= 2^31 pages (the design scale this generator
+    // exists to exercise); bit-identical to the Int path below 2^31
+    // (round-5 review)
+    val m = math.max(1L, nPages)
+    (0 until n).map(j => ((h(cfg.seed, 5L, i, j.toLong) % m) + m) % m).toVector
   }
 
   /** Block-graph JSON + goldens for page i. Returns (json, goldenText, kv). */
@@ -197,7 +202,10 @@ object PageSynth {
         val vId = kvSet("VALUE", valWords.map(wordBlock), Nil)
         kvSet("KEY", Seq(wordBlock(s"$keyWord$ki:")), Seq(vId))
         // key text "Alpha0: " -> sanitize -> "alpha0" ; later duplicate wins
-        kvGolden.put(s"${keyWord.toLowerCase}$ki", valWords.mkString("", " ", " "))
+        // (Locale.ROOT: the golden must lowercase exactly like
+        // JsText.sanitizeKey — a tr/az default locale would desync them)
+        kvGolden.put(
+          s"${keyWord.toLowerCase(java.util.Locale.ROOT)}$ki", valWords.mkString("", " ", " "))
       }
     }
 
@@ -212,11 +220,11 @@ object PageSynth {
     val seed = cfg.seed
     val selfUrl = url(i, cfg)
     val targets = linkTargets(i, nPages, cfg)
+    val selfOrigin = "https://" + hostName(hostIdx(i, cfg)) // loop-invariant
     val hrefs = targets.zipWithIndex.map { case (t, j) =>
       val abs = url(t, cfg)
       // every third link written root-relative when on the same host
-      if (j % 3 == 2 && abs.startsWith("https://" + hostName(hostIdx(i, cfg))))
-        abs.substring(("https://" + hostName(hostIdx(i, cfg))).length)
+      if (j % 3 == 2 && abs.startsWith(selfOrigin)) abs.substring(selfOrigin.length)
       else abs
     }
     val (blocksJson, goldenText, kv) = blockGraph(i, cfg)

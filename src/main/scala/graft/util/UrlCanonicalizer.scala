@@ -114,10 +114,29 @@ object UrlCanonicalizer {
     * (`page.$$eval("a", as => as.map(a => a.href))` returns *absolute*
     * URLs, `scrape-pdfs-from-website/lambda.ts:58-61`).
     */
+  /** Absolute iff a VALID scheme (alpha, then alnum/+/./-) precedes "://"
+    * — `indexOf("://") > 0` alone misclassified root-relative hrefs with an
+    * embedded URL (`/login?next=https://a.com`) as absolute, which then
+    * canonicalized into a garbage scheme/host and an unfetchable frontier
+    * entry (round-5 review). */
+  private def hasScheme(s: String): Boolean = {
+    val i = s.indexOf("://")
+    if (i <= 0) return false
+    val c0 = s.charAt(0)
+    if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return false
+    var j = 1
+    while (j < i) {
+      val c = s.charAt(j)
+      if (!(Character.isLetterOrDigit(c) || c == '+' || c == '.' || c == '-')) return false
+      j += 1
+    }
+    true
+  }
+
   def resolve(baseUrl: String, href0: String): String = {
     val href = JsText.jsTrim(href0)
     if (href.isEmpty) return baseUrl
-    if (href.indexOf("://") > 0) return href // already absolute
+    if (hasScheme(href)) return href // already absolute
     val schemeEnd = baseUrl.indexOf("://")
     if (schemeEnd <= 0) return href
     val scheme = baseUrl.substring(0, schemeEnd)
@@ -132,19 +151,24 @@ object UrlCanonicalizer {
       val noFrag = if (h >= 0) basePathQ.substring(0, h) else basePathQ
       return origin + noFrag + href
     }
+    def pathEnd(s: String): Int = {
+      val q = s.indexOf('?'); val h = s.indexOf('#')
+      if (q < 0 && h < 0) s.length else if (q < 0) h else if (h < 0) q else math.min(q, h)
+    }
     if (href.startsWith("?")) {
-      val q = basePathQ.indexOf('?')
-      val noQ = if (q >= 0) basePathQ.substring(0, q) else basePathQ
-      return origin + noQ + href
+      // strip the base's query AND fragment: `?x` on base `/p#f` resolves
+      // to `/p?x` in a browser, not `/p#f?x` (round-5 review)
+      return origin + basePathQ.substring(0, pathEnd(basePathQ)) + href
     }
     // relative path: resolve against base directory, collapsing ./ and ../
-    val qh = {
-      val q = basePathQ.indexOf('?'); val h = basePathQ.indexOf('#')
-      if (q < 0 && h < 0) basePathQ.length else if (q < 0) h else if (h < 0) q else math.min(q, h)
-    }
-    val basePath = basePathQ.substring(0, qh)
+    // over the PATH part only — the href's own query/fragment must ride
+    // along untouched (dot-segments inside `?p=/a/../b` are query DATA;
+    // collapsing them fetched a different resource — round-5 review)
+    val basePath = basePathQ.substring(0, pathEnd(basePathQ))
     val dir = basePath.substring(0, basePath.lastIndexOf('/') + 1)
-    val merged = dir + href
+    val hrefPath = href.substring(0, pathEnd(href))
+    val hrefSuffix = href.substring(pathEnd(href))
+    val merged = dir + hrefPath
     val segs = scala.collection.mutable.ArrayBuffer.empty[String]
     for (seg <- merged.split("/", -1)) seg match {
       case "" | "." => ()
@@ -154,6 +178,6 @@ object UrlCanonicalizer {
     val tail = merged.substring(merged.lastIndexOf('/') + 1)
     val dirLike = merged.endsWith("/") || tail == "." || tail == ".."
     val path = "/" + segs.mkString("/") + (if (dirLike && segs.nonEmpty) "/" else "")
-    origin + path
+    origin + path + hrefSuffix
   }
 }

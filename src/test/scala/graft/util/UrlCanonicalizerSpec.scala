@@ -54,6 +54,26 @@ class UrlCanonicalizerSpec extends AnyFunSuite {
     assert(resolve(base, "?x=2") == "https://h.com/dir/page.html?x=2")
   }
 
+  test("resolve: embedded URLs, query dot-segments, and fragment bases (round-5 review)") {
+    val base = "https://h.com/dir/page.html?q=1"
+    // a root-relative href with an EMBEDDED absolute URL is not absolute
+    assert(resolve(base, "/login?next=https://a.com/home") ==
+      "https://h.com/login?next=https://a.com/home")
+    assert(resolve(base, "go?to=http://b.com") == "https://h.com/dir/go?to=http://b.com")
+    // dot-segments inside the href's query are DATA, never collapsed
+    assert(resolve(base, "z?p=/a/../b") == "https://h.com/dir/z?p=/a/../b")
+    assert(resolve(base, "../z#s/../t") == "https://h.com/z#s/../t")
+    // a query-only href drops the base's fragment too
+    assert(resolve("https://h.com/p#f", "?x=1") == "https://h.com/p?x=1")
+    // scheme validity: letters then alnum/+/./- only ("weird scheme" is
+    // not a scheme, so this resolves as a relative PATH; the resolver's
+    // documented empty-segment simplification collapses the "//")
+    assert(resolve(base, "weird scheme://x") == "https://h.com/dir/weird scheme:/x")
+    assert(resolve(base, "ftp://files.com/a") == "ftp://files.com/a")
+    // trailing-slash relative href keeps its query after the dir slash
+    assert(resolve(base, "sub/?x=1") == "https://h.com/dir/sub/?x=1")
+  }
+
   test("urlHash is canonical-form-invariant") {
     assert(urlHash("HTTP://H.com:80/p?b=2&a=1#f") == urlHash("http://h.com/p?a=1&b=2"))
     assert(urlHash("http://h.com/p") != urlHash("http://h.com/q"))
