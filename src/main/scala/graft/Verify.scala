@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    graft.util.CodegenWatch.install()
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -37,6 +38,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // codegen compile failures are a perf defect even when every answer is
+    // right (the plan runs interpreted) — surface them here too, loudly
+    if (graft.util.CodegenWatch.count > 0)
+      System.err.println(
+        s"[verify] WARNING: ${graft.util.CodegenWatch.count} codegen unit(s) failed to " +
+          "compile and ran interpreted (grep logs for 'ERROR CodeGenerator')")
     spark.stop()
   }
 }

@@ -170,6 +170,19 @@ final class CrawlDriver(
             s"with ${cfg.seenPartitions} — the partitioned probe would silently mis-route; " +
             "resume with the original P (or rebuild the seen set from the frontier)")
       }
+      // a kind switch mid-lake is CORRECT (mixed segments probe side by
+      // side) but never converges: compaction can't fold bloom into cuckoo
+      // or vice versa, so the old kind's segments ride along forever. Warn
+      // loudly instead of failing — the operator may be migrating on
+      // purpose (round-5 advisor).
+      "\"kind\"\\s*:\\s*\"(\\w+)\"".r.findFirstMatchIn(txt).map(_.group(1)).foreach { storedKind =>
+        if (storedKind != cfg.seenKind)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"seen set was built with kind=$storedKind but this driver is configured with " +
+              s"kind=${cfg.seenKind}: correctness is unaffected (mixed segments probe " +
+              "side by side) but compaction will never fold the old kind's segments — " +
+              "rebuild the seen set from the frontier to converge")
+      }
     }
   }
 
@@ -355,10 +368,15 @@ final class CrawlDriver(
     val frontierDf = spark.createDataset(distinctSeeds).toDF()
     val segments = SeenSet.buildDeltaSegments(
       frontierDf.select("url_hash"), cfg.seenPartitions, cfg.expectedPerSegment, kind = cfg.seenKind)
-    // record the seen-set geometry for the resume-time drift guard above
+    val snap =
+      lake.commit(0L, appends = Map("frontier" -> frontierDf), replaces = Map("seen" -> segments.toDF()))
+    // record the seen-set geometry for the resume-time drift guard above —
+    // AFTER the snapshot-0 commit succeeds: a meta file describing a failed
+    // (effectively empty) commit would make a later driver with different
+    // seenPartitions fail the drift guard spuriously (round-5 advisor)
     java.nio.file.Files.writeString(seenMetaPath,
       s"""{"p":${cfg.seenPartitions},"kind":"${cfg.seenKind}"}""")
-    lake.commit(0L, appends = Map("frontier" -> frontierDf), replaces = Map("seen" -> segments.toDF()))
+    snap
   }
 
   /** One micro-batch. Returns stats; commits snapshot batchId atomically. */
@@ -468,6 +486,7 @@ final class CrawlDriver(
           .withColumn("minhash_band0", e.getField("minhash_band0"))
           .withColumn("fingerprint", e.getField("fingerprint"))
           .withColumn("quality", e.getField("quality"))
+          .withColumn("lang_id", e.getField("lang_id"))
       }
     mark("extractedRows")
 

@@ -15,19 +15,23 @@ import graft.util.XxHash64
   * shape), never collected, schema declared up front.
   *
   * ==STUB NOTICE==
-  * No image/audio codecs ship in this container. Format sniffing and
-  * container-HEADER metadata are REAL (public specs: PNG IHDR, GIF block
-  * walk, JPEG SOFn scan, WAV fmt chunk, MP4/ISO-BMFF box walk), and for
-  * TWO formats the ENTIRE pixel path is real — binary netpbm (P5/P6,
-  * no codec needed) and GIF (from-scratch LZW decoder, [[GifCodec]]) —
-  * full pixel decode, BT.601 luminance-histogram features, box-filter
-  * resize, so the decode→feature→resize pipeline is genuinely end-to-end
-  * for both. For the remaining codec formats, pixel/PCM *decode internals* —
-  * feature extraction, resize, and the fallback for unparseable headers —
-  * are deterministic fakes, clearly marked `Stub` below (pure functions of
-  * the bytes via xxhash). The Spark-side plumbing — column types, batch
-  * iteration, partitioning, output schemas — is real and tested; swapping
-  * a real codec into [[decodeStub]]/[[featureStub]] changes nothing else.
+  * No image/audio codec libraries ship in this container. Format sniffing
+  * and container-HEADER metadata are REAL (public specs: PNG IHDR, GIF
+  * block walk, JPEG SOFn scan, WAV fmt chunk, MP4/ISO-BMFF box walk), and
+  * for THREE image formats the ENTIRE pixel path is real — binary netpbm
+  * (P5/P6, no codec needed), GIF (from-scratch LZW decoder, [[GifCodec]]),
+  * and PNG (from-scratch DEFLATE+filter decoder, [[PngCodec]]) — full
+  * pixel decode, BT.601 luminance-histogram features, box-filter resize,
+  * so the decode→feature→resize pipeline is genuinely end-to-end for all
+  * three. WAV audio is likewise real end-to-end: header parse plus PCM
+  * sample statistics ([[wavPcmStats]] — 16/8-bit PCM, real sample
+  * arithmetic). For the remaining codec formats (jpeg, mp4), pixel
+  * *decode internals* — feature extraction, resize, and the fallback for
+  * unparseable headers — are deterministic fakes, clearly marked `Stub`
+  * below (pure functions of the bytes via xxhash). The Spark-side
+  * plumbing — column types, batch iteration, partitioning, output
+  * schemas — is real and tested; swapping a real codec into
+  * [[decodeStub]]/[[featureStub]] changes nothing else.
   */
 object Media {
 
@@ -275,10 +279,12 @@ object Media {
     }
 
   /** REAL full pixel decode to a BT.601 luma raster: (width, height, luma
-    * bytes row-major). Two formats decode end-to-end in this container —
-    * binary netpbm (P5/P6, [[parsePnm]]) and GIF via the from-scratch LZW
-    * decoder ([[GifCodec.decodeFirstFrame]]). None for codec formats
-    * (jpeg/png/wav/mp4 — real headers, marked pixel stubs). */
+    * bytes row-major). Three formats decode end-to-end in this container —
+    * binary netpbm (P5/P6, [[parsePnm]]), GIF via the from-scratch LZW
+    * decoder ([[GifCodec.decodeFirstFrame]]), and PNG via the from-scratch
+    * DEFLATE+filter decoder ([[PngCodec.decodeLuma]]). None for the
+    * remaining codec formats (jpeg/mp4 — real headers, marked pixel
+    * stubs). */
   def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     parsePnm(bytes) match {
       case Some((channels, w, h, off)) =>
@@ -293,12 +299,16 @@ object Media {
           p += 1
         }
         Some((w, h, luma))
-      case None if sniffFormat(bytes) == "gif" => GifCodec.decodeFirstFrame(bytes)
-      case None => None
+      case None =>
+        sniffFormat(bytes) match {
+          case "gif" => GifCodec.decodeFirstFrame(bytes)
+          case "png" => PngCodec.decodeLuma(bytes)
+          case _ => None
+        }
     }
 
   /** Luminance histogram (256 bins) for any fully-decodable blob
-    * (netpbm or GIF). */
+    * (netpbm, GIF, or PNG). */
   def lumaHistogram(bytes: Array[Byte]): Option[Array[Long]] =
     decodeLuma(bytes).map { case (_, _, luma) =>
       val hist = new Array[Long](256)
@@ -308,8 +318,8 @@ object Media {
     }
 
   /** Exact luminance sum over all pixels of a fully-decodable blob — the
-    * cross-engine pixel-truth scalar (for a grayscale-palette GIF or a P5,
-    * this is literally the sum of the stored bytes, which a SQL oracle can
+    * cross-engine pixel-truth scalar (for a grayscale-palette GIF, an
+    * 8-bit gray PNG, or a P5, this is literally the sum of the stored bytes, which a SQL oracle can
     * recompute arithmetically). */
   def lumaSum(bytes: Array[Byte]): Option[Long] =
     decodeLuma(bytes).map { case (_, _, luma) =>
@@ -319,7 +329,7 @@ object Media {
       s
     }
 
-  /** REAL image features for fully-decodable (netpbm/GIF) blobs: the
+  /** REAL image features for fully-decodable (netpbm/GIF/PNG) blobs: the
     * 256-bin luminance histogram L1-normalized, folded to `dim` bins, then
     * unit-normalized — a deterministic, content-meaningful embedding.
     * None for formats this container cannot decode (callers fall back to
@@ -338,6 +348,100 @@ object Media {
   /** Dispatch: real features when the blob decodes, marked stub otherwise. */
   def mediaFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
     imageFeatures(bytes, dim).getOrElse(featureStub(bytes, dim))
+
+  /** Exact integer PCM sample statistics — the moments mean/RMS/peak derive
+    * from, kept integer so a SQL oracle reproduces them bit-for-bit. */
+  final case class PcmStats(n_samples: Long, sum: Long, sum_sq: Long, peak_abs: Long)
+
+  /** REAL PCM audio decode for WAV blobs: a proper RIFF chunk walk (not
+    * the fixed-offset header peek [[parseHeader]] uses for metadata) to the
+    * `fmt ` and `data` chunks, then exact statistics over the REAL decoded
+    * samples — 16-bit signed little-endian or 8-bit unsigned-centered PCM
+    * (audioFormat 1), all channels folded together. This makes audio the
+    * third real modality here (after image pixels and text): the features
+    * are functions of the sample values, not of the container bytes.
+    * None for non-WAV, non-PCM (compressed), or truncated blobs. */
+  def wavPcmStats(bytes: Array[Byte]): Option[PcmStats] = {
+    try {
+      if (bytes == null || bytes.length < 44 || sniffFormat(bytes) != "wav") return None
+      var i = 12 // past RIFF size WAVE
+      var bits = -1
+      var fmtOk = false
+      var stats: Option[PcmStats] = None
+      while (stats.isEmpty && i + 8 <= bytes.length) {
+        val id = new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(bytes, i + 4)
+        if (size < 0 || i + 8L + size > bytes.length) return None
+        val off = i + 8
+        id match {
+          case "fmt " =>
+            if (size < 16) return None
+            val audioFormat = le16(bytes, off)
+            bits = le16(bytes, off + 14)
+            fmtOk = audioFormat == 1 && (bits == 8 || bits == 16)
+          case "data" =>
+            if (!fmtOk) return None // data before a PCM fmt chunk: bail
+            var sum = 0L
+            var sumSq = 0L
+            var peak = 0L
+            if (bits == 16) {
+              val n = size / 2
+              var s = 0
+              while (s < n) {
+                val v = (le16(bytes, off + 2 * s) << 16) >> 16 // sign-extend
+                sum += v
+                sumSq += v.toLong * v
+                val a = math.abs(v.toLong)
+                if (a > peak) peak = a
+                s += 1
+              }
+              stats = Some(PcmStats(n.toLong, sum, sumSq, peak))
+            } else {
+              var s = 0
+              while (s < size) {
+                val v = u8(bytes(off + s)) - 128 // 8-bit PCM is unsigned, centered at 128
+                sum += v
+                sumSq += v.toLong * v
+                val a = math.abs(v.toLong)
+                if (a > peak) peak = a
+                s += 1
+              }
+              stats = Some(PcmStats(size.toLong, sum, sumSq, peak))
+            }
+          case _ => () // LIST, fact, ...: skip
+        }
+        i = off + size + (size & 1) // chunks are word-aligned
+      }
+      stats
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Minimal mono 16-bit PCM WAV writer — exists so tests and the q40
+    * oracle fixture can round-trip arbitrary sample streams through the
+    * REAL [[wavPcmStats]] decode (the same pattern as [[GifCodec
+    * .encodeGray]] / [[PngCodec.encodeGray]] for pixels). */
+  def wavEncodePcm16(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def ascii(i: Int, s: String): Unit = { var j = 0; while (j < 4) { out(i + j) = s.charAt(j).toByte; j += 1 } }
+    def w32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte
+      out(i + 2) = (v >>> 16).toByte; out(i + 3) = (v >>> 24).toByte
+    }
+    def w16(i: Int, v: Int): Unit = { out(i) = v.toByte; out(i + 1) = (v >>> 8).toByte }
+    ascii(0, "RIFF"); w32(4, 36 + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); w32(16, 16)
+    w16(20, 1) // PCM
+    w16(22, 1) // mono
+    w32(24, sampleRate)
+    w32(28, sampleRate * 2) // byte rate
+    w16(32, 2) // block align
+    w16(34, 16) // bits per sample
+    ascii(36, "data"); w32(40, dataLen)
+    var s = 0
+    while (s < samples.length) { w16(44 + 2 * s, samples(s)); s += 1 }
+    out
+  }
 
   /** REAL box-filter downscale for netpbm blobs — emits a valid binary
     * netpbm of the same kind at exactly w×h (each output pixel averages
@@ -384,7 +488,7 @@ object Media {
     }
 
   /** Transcode any fully-decodable blob to binary netpbm: a pnm passes
-    * through untouched; a GIF becomes a P5 of its decoded luma raster
+    * through untouched; a GIF or PNG becomes a P5 of its decoded luma raster
     * (grayscale — the honest lossy step, documented: resize-after-decode
     * operates on luminance for palette formats). */
   def toPnm(bytes: Array[Byte]): Option[Array[Byte]] =
@@ -405,9 +509,10 @@ object Media {
       .getOrElse(resizeStub(bytes, w, h))
 
   /** Decode: real format sniff + REAL header metadata for png/gif/jpeg/wav/
-    * mp4 and REAL full pixel decode for netpbm; only bytes whose headers
-    * don't parse fall back to the clearly-marked deterministic fake.
-    * Replace the fallback with a real codec call when one is available. */
+    * mp4 and REAL full pixel decode for netpbm/GIF/PNG ([[decodeLuma]]);
+    * only bytes whose headers don't parse fall back to the clearly-marked
+    * deterministic fake. Replace the fallback with a real codec call when
+    * one is available. */
   def decodeStub(bytes: Array[Byte]): MediaMeta = {
     if (bytes == null) return MediaMeta("null", 0, 0, 0, 0, 0L)
     val format = sniffFormat(bytes)
@@ -501,7 +606,7 @@ object Media {
   }
 
   /** Pixel-truth stage: adds `luma_sum bigint` — the exact luminance sum
-    * over all decoded pixels for fully-decodable (netpbm/GIF) blobs, -1
+    * over all decoded pixels for fully-decodable (netpbm/GIF/PNG) blobs, -1
     * for formats this container cannot decode. Batched like the rest;
     * the q38 oracle recomputes the sum arithmetically in SQL. */
   def lumaSums(df: DataFrame, blobCol: String = "blob", batchSize: Int = 64): DataFrame = {
@@ -513,9 +618,30 @@ object Media {
     }
   }
 
+  /** Audio-truth stage: adds `n_samples`, `pcm_sum`, `pcm_sum_sq`,
+    * `pcm_peak` (all bigint) — exact integer statistics over the REAL
+    * decoded PCM samples of WAV blobs ([[wavPcmStats]]), -1s for blobs
+    * this container cannot decode. Batched like the rest; the q40 oracle
+    * recomputes all four arithmetically in SQL. */
+  def pcmFeatures(df: DataFrame, blobCol: String = "blob", batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema
+      .add("n_samples", LongType, nullable = false)
+      .add("pcm_sum", LongType, nullable = false)
+      .add("pcm_sum_sq", LongType, nullable = false)
+      .add("pcm_peak", LongType, nullable = false)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    mapBatched(df, outSchema, batchSize) { batch =>
+      batch.map { row =>
+        val s = wavPcmStats(row.getAs[Array[Byte]](blobIdx))
+          .getOrElse(PcmStats(-1L, -1L, -1L, -1L))
+        Row.fromSeq(row.toSeq ++ Seq(s.n_samples, s.sum, s.sum_sq, s.peak_abs))
+      }
+    }
+  }
+
   /** Resize stage: adds `resized binary` (batched) — a REAL box-filter
-    * downscale for decodable (netpbm natively, GIF via luma transcode)
-    * blobs, the marked stub otherwise. */
+    * downscale for decodable (netpbm natively, GIF/PNG via luma
+    * transcode) blobs, the marked stub otherwise. */
   def resizeImages(
       df: DataFrame,
       blobCol: String = "blob",

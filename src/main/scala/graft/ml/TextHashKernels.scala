@@ -144,7 +144,16 @@ object TextHashKernels {
     * bucket assignments are bit-for-bit unchanged. */
   private val rhSigns =
     new java.util.concurrent.ConcurrentHashMap[(Int, Long, Int), Array[Double]]()
-  private def rhSignMatrix(numBits: Int, seed: Long, dim: Int): Array[Double] =
+  /** A normal job has exactly one (numBits, seed, dim) key; ragged
+    * embedding columns add one entry per distinct vector LENGTH, which is
+    * unbounded executor memory on adversarial data (round-5 advisor). A
+    * hard cap with clear-on-overflow keeps the steady state (≤ a few
+    * matrices, hit every row) while bounding the worst case to one
+    * recompute per ragged row — the pre-memoization cost, only for data
+    * that was already pathological. */
+  private val RhSignsMaxEntries = 64
+  private def rhSignMatrix(numBits: Int, seed: Long, dim: Int): Array[Double] = {
+    if (rhSigns.size() >= RhSignsMaxEntries) rhSigns.clear()
     rhSigns.computeIfAbsent((numBits, seed, dim), key => {
       val (nb, s, d) = key
       val m = new Array[Double](nb * d)
@@ -160,6 +169,7 @@ object TextHashKernels {
       }
       m
     })
+  }
 
   /** Random-hyperplane LSH bucket for an embedding: `numBits` sign bits of
     * dot products against deterministic ±1 hyperplanes (plane j component i

@@ -20,18 +20,31 @@ import graft.util.XxHash64
   *
   * Double hashing (Kirsch–Mitzenmatcher): index_i = h1 + i·h2 mod m, with
   * h1 = xxh64(key, seed1), h2 = xxh64(key, seed2) — no per-probe rehash of
-  * the key bytes. h1 MUST be the mixed key, not the raw key (v2 format):
+  * the key bytes. h1 MUST be the mixed key, not the raw key (v2 fix):
   * every key in a segment shares `url_hash ≡ pid (mod P)`, so a raw-key
   * first probe concentrated in a coset of size numBits/gcd(P, numBits)
   * (half the bit array for the default even numBits), densifying those
   * bits and inflating measured FPR past the configured fpp — the same
   * low-bits-structure bug class the cuckoo filter's v1 bucket layout had
   * (round-5 review).
+  *
+  * v3 format (round-5 advisor): the serialized header carries the DESIGN
+  * CAPACITY n the filter was sized for, instead of deriving it from m and
+  * k at read time — the derivation n = m·ln2/k is exact only at optimal
+  * sizing, so a filter created with a clamped/rounded k self-reported a
+  * capacity above its real design n and the compaction overfill gate
+  * could still push FPR past the configured fpp. Older formats (GBLM raw-
+  * key h1, GBL2 derived capacity) hard-fail at read with a rebuild hint:
+  * see README "Seen-set format migrations".
   */
 final class GraftBloomFilter private (
     val numBits: Long,
     val numHashes: Int,
+    private var _designCapacity: Long,
     private[seen] val words: Array[Long]) extends Serializable {
+
+  /** The key count this filter was SIZED for (stored in the v3 header). */
+  def designCapacity: Long = _designCapacity
 
   private[seen] var itemsInserted: Long = 0L
 
@@ -61,22 +74,26 @@ final class GraftBloomFilter private (
     true
   }
 
-  /** Bitwise OR merge; segments must share geometry. */
+  /** Bitwise OR merge; segments must share geometry. The merged filter's
+    * design capacity is the MIN of the two (conservative: the overfill
+    * gate must never admit more keys than the tighter design allows). */
   def mergeInPlace(other: GraftBloomFilter): GraftBloomFilter = {
     require(other.numBits == numBits && other.numHashes == numHashes,
       s"incompatible bloom geometry: ($numBits,$numHashes) vs (${other.numBits},${other.numHashes})")
     var i = 0
     while (i < words.length) { words(i) |= other.words(i); i += 1 }
     itemsInserted += other.itemsInserted
+    if (other._designCapacity < _designCapacity) _designCapacity = other._designCapacity
     this
   }
 
   def serialized: Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(4 + 4 + 8 + 8 + words.length * 8)
+    val bb = java.nio.ByteBuffer.allocate(GraftBloomFilter.HeaderBytes + words.length * 8)
     bb.putInt(GraftBloomFilter.Magic)
     bb.putInt(numHashes)
     bb.putLong(numBits)
     bb.putLong(itemsInserted)
+    bb.putLong(designCapacity)
     var i = 0
     while (i < words.length) { bb.putLong(words(i)); i += 1 }
     bb.array()
@@ -84,27 +101,33 @@ final class GraftBloomFilter private (
 }
 
 object GraftBloomFilter {
-  private[seen] final val Magic = 0x47424c32 // "GBL2"
+  private[seen] final val Magic = 0x47424c33 // "GBL3" (capacity in header)
+  private[seen] final val MagicV2 = 0x47424c32 // "GBL2" (retired: capacity derived from m,k)
   private[seen] final val MagicV1 = 0x47424c4d // "GBLM" (retired: raw-key h1, coset-biased)
   private[seen] final val H1Seed = 0x165667b1L
   private[seen] final val H2Seed = 0x27d4eb2fL
 
-  /** The serialization header is 24 bytes and the byte array length is an
-    * Int, so the largest serializable filter is (Int.MaxValue-24)/8 words —
-    * create() enforces the SERIALIZABLE bound, not the in-memory one (a
-    * filter that can't survive its first Spark agg serialize is useless). */
-  private[seen] final val MaxNumBits = ((Int.MaxValue.toLong - 24) / 8) * 64
+  /** magic(4) k(4) numBits(8) itemsInserted(8) designCapacity(8). */
+  private[seen] final val HeaderBytes = 32
 
-  def create(numBits: Long, numHashes: Int): GraftBloomFilter = {
+  /** The byte array length is an Int, so the largest serializable filter is
+    * (Int.MaxValue-header)/8 words — create() enforces the SERIALIZABLE
+    * bound, not the in-memory one (a filter that can't survive its first
+    * Spark agg serialize is useless). */
+  private[seen] final val MaxNumBits = ((Int.MaxValue.toLong - HeaderBytes) / 8) * 64
+
+  def create(numBits: Long, numHashes: Int, designCapacity: Long): GraftBloomFilter = {
     require(numBits > 0 && numBits <= MaxNumBits, s"numBits out of range: $numBits")
     require(numHashes > 0 && numHashes <= 64)
-    new GraftBloomFilter(numBits, numHashes, new Array[Long](((numBits + 63) >>> 6).toInt))
+    require(designCapacity > 0, s"designCapacity out of range: $designCapacity")
+    new GraftBloomFilter(
+      numBits, numHashes, designCapacity, new Array[Long](((numBits + 63) >>> 6).toInt))
   }
 
   /** Standard optimal sizing for expected n keys at false-positive rate p. */
   def forExpected(n: Long, fpp: Double): GraftBloomFilter = {
     val bits = optimalNumBits(n, fpp)
-    create(bits, optimalNumHashes(n, bits))
+    create(bits, optimalNumHashes(n, bits), math.max(1L, n))
   }
 
   def optimalNumBits(n: Long, fpp: Double): Long =
@@ -116,17 +139,21 @@ object GraftBloomFilter {
   def deserialize(bytes: Array[Byte]): GraftBloomFilter = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val magic = bb.getInt
-    require(magic != MagicV1,
-      "bloom segment uses the retired v1 hash layout (GBLM, raw-key h1); it cannot be " +
-        "probed by this build — rebuild the seen set (mergeSegments from the exact frontier)")
+    require(magic != MagicV1 && magic != MagicV2,
+      "bloom segment uses a retired serialization format " +
+        f"(magic 0x$magic%08x; GBLM = raw-key h1, GBL2 = derived capacity); it cannot be " +
+        "probed by this build — rebuild the seen set from the exact frontier " +
+        "(graft.tools.SeenRebuild, or SeenSet.buildDeltaSegments over frontier.url_hash; " +
+        "see README \"Seen-set format migrations\")")
     require(magic == Magic, f"not a graft bloom segment (magic 0x$magic%08x)")
     val k = bb.getInt
     val numBits = bb.getLong
     val items = bb.getLong
+    val capacity = bb.getLong
     val words = new Array[Long](((numBits + 63) >>> 6).toInt)
     var i = 0
     while (i < words.length) { words(i) = bb.getLong; i += 1 }
-    val f = new GraftBloomFilter(numBits, k, words)
+    val f = new GraftBloomFilter(numBits, k, capacity, words)
     f.itemsInserted = items
     f
   }

@@ -186,7 +186,8 @@ object SeenSet {
     val bits = GraftBloomFilter.optimalNumBits(expectedPerSegment, fpp)
     val k = GraftBloomFilter.optimalNumHashes(expectedPerSegment, bits)
     val buildCol = kind match {
-      case "bloom" => SeenSegments.bloom_build(col("url_hash"), bits, k)
+      case "bloom" =>
+        SeenSegments.bloom_build(col("url_hash"), bits, k, expectedPerSegment)
       case "cuckoo" =>
         SeenSegments.cuckoo_build(
           col("url_hash"), GraftCuckooFilter.log2BucketsForExpected(expectedPerSegment))

@@ -23,6 +23,7 @@ case class BloomBuildAgg(
     child: Expression,
     numBits: Long,
     numHashes: Int,
+    designCapacity: Long,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[GraftBloomFilter] {
@@ -33,7 +34,7 @@ case class BloomBuildAgg(
   override def prettyName: String = "bloom_build"
 
   override def createAggregationBuffer(): GraftBloomFilter =
-    GraftBloomFilter.create(numBits, numHashes)
+    GraftBloomFilter.create(numBits, numHashes, designCapacity)
 
   override def update(buf: GraftBloomFilter, input: InternalRow): GraftBloomFilter = {
     val v = child.eval(input)
@@ -324,16 +325,14 @@ object SeenSegments {
       else buildFilterFromKeys(keys, kind, expectedPerSegment, fpp)
     }
 
-  /** Design capacity of a serialized BLOOM segment, derived from its OWN
-    * stored geometry (n = m·ln2/k — exact at optimal sizing, so a filter
-    * built for a larger key set self-describes its larger capacity).
-    * Header layout: magic(4) k(4) numBits(8) itemsInserted(8). */
-  private def bloomCapacity(bytes: Array[Byte]): Long = {
-    val bb = java.nio.ByteBuffer.wrap(bytes, 4, 12)
-    val k = bb.getInt
-    val numBits = bb.getLong
-    math.max(1L, (numBits * math.log(2) / k).toLong)
-  }
+  /** Design capacity of a serialized BLOOM segment — read directly from
+    * the v3 header (round-5 advisor: deriving it as m·ln2/k is exact only
+    * at optimal sizing; a filter created with a clamped/rounded k
+    * self-reported a capacity above its real design n, so the overfill
+    * gate could still push FPR past the configured fpp). Header layout:
+    * magic(4) k(4) numBits(8) itemsInserted(8) designCapacity(8). */
+  private def bloomCapacity(bytes: Array[Byte]): Long =
+    math.max(1L, java.nio.ByteBuffer.wrap(bytes, 24, 8).getLong)
 
   /** Remaining insert capacity of a serialized BLOOM segment before it
     * exceeds its design load (fixed header offsets — no word-array copy).
@@ -398,7 +397,7 @@ object SeenSegments {
     kind match {
       case "bloom" =>
         val bits = GraftBloomFilter.optimalNumBits(n, fpp)
-        val f = GraftBloomFilter.create(bits, GraftBloomFilter.optimalNumHashes(n, bits))
+        val f = GraftBloomFilter.create(bits, GraftBloomFilter.optimalNumHashes(n, bits), n)
         keys.foreach(f.insert)
         Seq((f.serialized, keys.length.toLong))
       case "cuckoo" =>
@@ -419,7 +418,7 @@ object SeenSegments {
     kind match {
       case "bloom" =>
         val bits = GraftBloomFilter.optimalNumBits(expectedPerSegment, fpp)
-        4L + 4L + 8L + 8L + ((bits + 63L) >>> 6) * 8L
+        GraftBloomFilter.HeaderBytes.toLong + ((bits + 63L) >>> 6) * 8L
       case "cuckoo" =>
         val lg = GraftCuckooFilter.log2BucketsForExpected(expectedPerSegment)
         4L + 4L + 8L + (1L << lg) * GraftCuckooFilter.SlotsPerBucket * 2L
@@ -427,9 +426,9 @@ object SeenSegments {
     }
 
   // Column API
-  def bloom_build(urlHash: Column, numBits: Long, numHashes: Int): Column =
+  def bloom_build(urlHash: Column, numBits: Long, numHashes: Int, designCapacity: Long): Column =
     ExpressionUtils.column(
-      BloomBuildAgg(ExpressionUtils.expression(urlHash), numBits, numHashes)
+      BloomBuildAgg(ExpressionUtils.expression(urlHash), numBits, numHashes, designCapacity)
         .toAggregateExpression())
 
   def cuckoo_build(urlHash: Column, log2Buckets: Int): Column =

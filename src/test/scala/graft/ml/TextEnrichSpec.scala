@@ -23,6 +23,11 @@ class TextEnrichSpec extends AnyFunSuite {
     "a b c d e f g h i j k l m n o p q r s t u v w x y z", // many short tokens
     "no stopwords here whatsoever truly none",
     "ünïcödé tëxt with Ümlauts and ÉMOJI-free content",
+    "la la la de de en un es que y the fox",              // es/fr-shared words + runs
+    "le la de et que en un est pour dans",                // all-fr list verbatim
+    "der die das la la LE le DE de weird MIX",            // cross-language adjacency
+    "the the the of of and and and and to",               // runs: ceil(k/2) semantics
+    "Istanbul II III IV the ÍN İN in IS",                 // dotted/dotless I, Locale.ROOT
     "the " * 50 + "end") ++
     graft.synth.PageSynth.pages(40L).map(p =>
       new String(p.page.html, java.nio.charset.StandardCharsets.UTF_8).take(2000))
@@ -33,7 +38,7 @@ class TextEnrichSpec extends AnyFunSuite {
       TextHashFunctions.simhash64(col("text")).as("simhash"),
       xxhash64(TextHashFunctions.minhash_sig(col("text"), numHashes = 8)).as("minhash_band0"),
       TextHashFunctions.doc_fingerprint(col("text")).as("fingerprint"),
-      TextAnalysis.qualityFeatures(col("text")).as("quality"))
+      TextAnalysis.qualityFeaturesDeclarative(col("text")).as("quality"))
     val fused = df.select(TextEnrichFunctions.enrich_doc(col("text")).as("e"))
       .select(col("e.simhash"), col("e.minhash_band0"), col("e.fingerprint"), col("e.quality"))
 
@@ -59,5 +64,50 @@ class TextEnrichSpec extends AnyFunSuite {
     val out = df.select(TextEnrichFunctions.enrich_doc(col("text")).as("e")).collect()
     assert(out(0).getStruct(0) != null)
     assert(out(1).isNullAt(0))
+  }
+
+  test("fused lang scores + lang_id == declarative stopwordHits + langId, per language") {
+    val df = cases.toDF("text")
+    val langCols = graft.ml.TextEnrich.langWordLists.zipWithIndex.map { case (ws, i) =>
+      TextAnalysis.stopwordHits(col("text"), ws.toSeq).as(s"d_$i")
+    }
+    val declarative = df.select(
+      langCols :+ TextAnalysis.langIdDeclarative(col("text")).as("d_lang"): _*)
+    val fused = df.select(TextEnrichFunctions.analyze_text(col("text")).as("a"))
+      .select(col("a.s_en"), col("a.s_de"), col("a.s_es"), col("a.s_fr"), col("a.lang_id"))
+    val d = declarative.collect()
+    val f = fused.collect()
+    assert(d.length == f.length)
+    d.zip(f).zip(cases).foreach { case ((dr, fr), text) =>
+      (0 until 4).foreach { i =>
+        assert(dr.getLong(i) == fr.getLong(i),
+          s"lang-score[${graft.ml.TextEnrich.langNames(i)}] mismatch on: ${text.take(60)}")
+      }
+      assert(dr.getString(4) == fr.getString(4), s"lang_id mismatch on: ${text.take(60)}")
+    }
+  }
+
+  test("the public TextAnalysis API (now fused) matches the declarative parity oracles") {
+    val df = cases.toDF("text")
+    val a = df.select(
+      TextAnalysis.qualityFeatures(col("text")).as("q"),
+      TextAnalysis.langId(col("text")).as("l")).collect()
+    val b = df.select(
+      TextAnalysis.qualityFeaturesDeclarative(col("text")).as("q"),
+      TextAnalysis.langIdDeclarative(col("text")).as("l")).collect()
+    a.zip(b).zip(cases).foreach { case ((ar, br), text) =>
+      assert(ar.getStruct(0) == br.getStruct(0) ||
+        ar.getStruct(0).toSeq == br.getStruct(0).toSeq,
+        s"qualityFeatures mismatch on: ${text.take(60)}")
+      assert(ar.getString(1) == br.getString(1), s"langId mismatch on: ${text.take(60)}")
+    }
+  }
+
+  test("langId null-in behavior matches the declarative form ('und', not null)") {
+    val df = Seq(Some("le la de et"), None).toDF("text")
+    val fused = df.select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    val decl = df.select(TextAnalysis.langIdDeclarative(col("text"))).collect().map(_.getString(0))
+    assert(fused.toSeq == decl.toSeq)
+    assert(fused.toSeq == Seq("fr", "und"))
   }
 }
