@@ -533,6 +533,32 @@ object SparkEntry {
           col("n_samples"), col("pcm_sum"), col("pcm_sum_sq"), col("pcm_peak"))
     }),
 
+    // FOURTH real codec cross-engine (round 6): a deterministic grayscale
+    // baseline JPEG per document — pixels constant within each (padded)
+    // 8x8 block, so with unit quant tables the DCT has DC energy only and
+    // the REAL Huffman+IDCT decode is mathematically exact; restart
+    // interval = n_chars % 3 (0 = none) exercises the DRI/RSTn path across
+    // the corpus. The oracle recomputes the luminance sum arithmetically —
+    // any regression in marker parse, Huffman tables, dequant, IDCT
+    // rounding, MCU geometry, or edge cropping changes luma_sum
+    "q41_jpeg_decode" -> ((s, dir) => {
+      val mkJpg = udf { (nChars: Long) =>
+        val w = (4 + nChars % 29).toInt
+        val h = (2 + nChars % 19).toInt // up to 20: multiple MCU rows
+        val px = Array.tabulate(w * h) { i =>
+          ((nChars + 17 * ((i / w) / 8) + 29 * ((i % w) / 8)) % 251).toByte
+        }
+        graft.media.JpegCodec.encodeGray(w, h, px, q = 1,
+          restartEvery = (nChars % 3).toInt)
+      }
+      val blobs = t(s, dir, "documents")
+        .select(col("doc_id"), mkJpg(col("n_chars").cast("long")).as("blob"))
+      graft.media.Media.lumaSums(graft.media.Media.decodeMeta(blobs))
+        .select(
+          col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"), col("luma_sum"))
+    }),
+
     // the fused EnrichDoc kernel vs q17's oracle (round-4 judge item 4):
     // the production crawl's actual enrichment expression (one pass, zero
     // regexes) projected onto the quality fields must reproduce the
@@ -771,6 +797,17 @@ object SparkEntry {
         |                      FOR i IN range(0, 64 + n_chars % 97)]) AS BIGINT) AS pcm_sum_sq,
         |       CAST(list_max([abs(((n_chars * 31 + i * 97) % 2048) - 1024)
         |                      FOR i IN range(0, 64 + n_chars % 97)]) AS BIGINT) AS pcm_peak
+        |FROM documents""".stripMargin,
+    // block-constant pixels (value depends only on the 8x8 block index), so
+    // the lossy-in-general DCT path is exact and the sum is SQL-computable
+    "q41_jpeg_decode" ->
+      """SELECT doc_id, 'jpeg' AS format,
+        |       CAST(4 + n_chars % 29 AS INT) AS width,
+        |       CAST(2 + n_chars % 19 AS INT) AS height,
+        |       CAST(list_sum([(n_chars + 17 * ((i // (4 + n_chars % 29)) // 8)
+        |                               + 29 * ((i % (4 + n_chars % 29)) // 8)) % 251
+        |                      FOR i IN range(0, (4 + n_chars % 29) * (2 + n_chars % 19))])
+        |            AS BIGINT) AS luma_sum
         |FROM documents""".stripMargin,
     // q20's norm must mirror the FINGERPRINT kernel's normalization, which
     // (unlike normSql's space-only trim-first) strips ALL edge whitespace:

@@ -18,20 +18,21 @@ import graft.util.XxHash64
   * No image/audio codec libraries ship in this container. Format sniffing
   * and container-HEADER metadata are REAL (public specs: PNG IHDR, GIF
   * block walk, JPEG SOFn scan, WAV fmt chunk, MP4/ISO-BMFF box walk), and
-  * for THREE image formats the ENTIRE pixel path is real — binary netpbm
+  * for FOUR image formats the ENTIRE pixel path is real — binary netpbm
   * (P5/P6, no codec needed), GIF (from-scratch LZW decoder, [[GifCodec]]),
-  * and PNG (from-scratch DEFLATE+filter decoder, [[PngCodec]]) — full
-  * pixel decode, BT.601 luminance-histogram features, box-filter resize,
-  * so the decode→feature→resize pipeline is genuinely end-to-end for all
-  * three. WAV audio is likewise real end-to-end: header parse plus PCM
-  * sample statistics ([[wavPcmStats]] — 16/8-bit PCM, real sample
-  * arithmetic). For the remaining codec formats (jpeg, mp4), pixel
-  * *decode internals* — feature extraction, resize, and the fallback for
-  * unparseable headers — are deterministic fakes, clearly marked `Stub`
-  * below (pure functions of the bytes via xxhash). The Spark-side
-  * plumbing — column types, batch iteration, partitioning, output
-  * schemas — is real and tested; swapping a real codec into
-  * [[decodeStub]]/[[featureStub]] changes nothing else.
+  * PNG (from-scratch DEFLATE+filter decoder, [[PngCodec]]), and baseline
+  * JPEG (from-scratch Huffman+IDCT decoder, [[JpegCodec]]) — full pixel
+  * decode, BT.601 luminance-histogram features, box-filter resize, so the
+  * decode→feature→resize pipeline is genuinely end-to-end for all four.
+  * WAV audio is likewise real end-to-end: header parse plus PCM sample
+  * statistics ([[wavPcmStats]] — 16/8-bit PCM, real sample arithmetic).
+  * For the one remaining codec format (mp4) and for out-of-scope jpeg
+  * variants (progressive, CMYK), pixel *decode internals* — feature
+  * extraction, resize, and the fallback for unparseable headers — are
+  * deterministic fakes, clearly marked `Stub` below (pure functions of
+  * the bytes via xxhash). The Spark-side plumbing — column types, batch
+  * iteration, partitioning, output schemas — is real and tested; swapping
+  * a real codec into [[decodeStub]]/[[featureStub]] changes nothing else.
   */
 object Media {
 
@@ -214,7 +215,7 @@ object Media {
   // format this container CAN fully decode with no codec — pixels,
   // features and resize below are REAL, not stubs, making the whole
   // decode→feature→resize pipeline genuinely end-to-end for pnm blobs
-  // while codec formats (jpeg/png/mp4) keep real headers + marked stubs. ---
+  // while codec formats (mp4, out-of-scope jpeg variants) keep real headers + marked stubs. ---
 
   /** Parse a binary netpbm header: (channels, width, height, pixelOffset).
     * Handles runs of whitespace and `#` comments per the netpbm spec;
@@ -279,12 +280,15 @@ object Media {
     }
 
   /** REAL full pixel decode to a BT.601 luma raster: (width, height, luma
-    * bytes row-major). Three formats decode end-to-end in this container —
+    * bytes row-major). Four formats decode end-to-end in this container —
     * binary netpbm (P5/P6, [[parsePnm]]), GIF via the from-scratch LZW
-    * decoder ([[GifCodec.decodeFirstFrame]]), and PNG via the from-scratch
-    * DEFLATE+filter decoder ([[PngCodec.decodeLuma]]). None for the
-    * remaining codec formats (jpeg/mp4 — real headers, marked pixel
-    * stubs). */
+    * decoder ([[GifCodec.decodeFirstFrame]]), PNG via the from-scratch
+    * DEFLATE+filter decoder ([[PngCodec.decodeLuma]]), and baseline JPEG
+    * via the from-scratch Huffman+IDCT decoder ([[JpegCodec.decodeLuma]] —
+    * the Y channel, which for JFIF IS the BT.601 luma the other paths
+    * compute from RGB). None for the one remaining codec format (mp4 —
+    * real headers, marked pixel stubs) and for out-of-scope jpeg variants
+    * (progressive, CMYK). */
   def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     parsePnm(bytes) match {
       case Some((channels, w, h, off)) =>
@@ -303,12 +307,13 @@ object Media {
         sniffFormat(bytes) match {
           case "gif" => GifCodec.decodeFirstFrame(bytes)
           case "png" => PngCodec.decodeLuma(bytes)
+          case "jpeg" => JpegCodec.decodeLuma(bytes)
           case _ => None
         }
     }
 
   /** Luminance histogram (256 bins) for any fully-decodable blob
-    * (netpbm, GIF, or PNG). */
+    * (netpbm, GIF, PNG, or baseline JPEG). */
   def lumaHistogram(bytes: Array[Byte]): Option[Array[Long]] =
     decodeLuma(bytes).map { case (_, _, luma) =>
       val hist = new Array[Long](256)
@@ -329,7 +334,7 @@ object Media {
       s
     }
 
-  /** REAL image features for fully-decodable (netpbm/GIF/PNG) blobs: the
+  /** REAL image features for fully-decodable (netpbm/GIF/PNG/JPEG) blobs: the
     * 256-bin luminance histogram L1-normalized, folded to `dim` bins, then
     * unit-normalized — a deterministic, content-meaningful embedding.
     * None for formats this container cannot decode (callers fall back to
@@ -488,7 +493,7 @@ object Media {
     }
 
   /** Transcode any fully-decodable blob to binary netpbm: a pnm passes
-    * through untouched; a GIF or PNG becomes a P5 of its decoded luma raster
+    * through untouched; a GIF, PNG, or JPEG becomes a P5 of its decoded luma raster
     * (grayscale — the honest lossy step, documented: resize-after-decode
     * operates on luminance for palette formats). */
   def toPnm(bytes: Array[Byte]): Option[Array[Byte]] =
@@ -509,7 +514,7 @@ object Media {
       .getOrElse(resizeStub(bytes, w, h))
 
   /** Decode: real format sniff + REAL header metadata for png/gif/jpeg/wav/
-    * mp4 and REAL full pixel decode for netpbm/GIF/PNG ([[decodeLuma]]);
+    * mp4 and REAL full pixel decode for netpbm/GIF/PNG/JPEG ([[decodeLuma]]);
     * only bytes whose headers don't parse fall back to the clearly-marked
     * deterministic fake. Replace the fallback with a real codec call when
     * one is available. */
@@ -606,7 +611,7 @@ object Media {
   }
 
   /** Pixel-truth stage: adds `luma_sum bigint` — the exact luminance sum
-    * over all decoded pixels for fully-decodable (netpbm/GIF/PNG) blobs, -1
+    * over all decoded pixels for fully-decodable (netpbm/GIF/PNG/JPEG) blobs, -1
     * for formats this container cannot decode. Batched like the rest;
     * the q38 oracle recomputes the sum arithmetically in SQL. */
   def lumaSums(df: DataFrame, blobCol: String = "blob", batchSize: Int = 64): DataFrame = {
