@@ -571,7 +571,53 @@ object SparkEntry {
         .select(col("doc_id"), col("f.n_chars").as("n_chars"), col("f.n_tokens").as("n_tokens"),
           col("f.mean_token_len").as("mean_token_len"),
           col("f.stopword_ratio").as("stopword_ratio"))
-    }))
+    }),
+
+    // connected components over a planted chain graph: consecutive docs
+    // (in doc_id rank order) are linked within decades of rank — chains of
+    // diameter 9, so the iterative min-propagation + pointer-jumping loop
+    // provably runs multiple rounds (not one lucky pass); the oracle is
+    // the min doc_id of each rank-decade. Transitive-correct clustering is
+    // what greedy pair-dedup cannot express (see DedupClusters scaladoc).
+    "q42_neardup_components" -> ((s, dir) => {
+      val w = Window.orderBy(col("doc_id"))
+      val r = t(s, dir, "documents")
+        .select(col("doc_id")).withColumn("rn", row_number().over(w) - 1)
+      val a = r.select(col("doc_id").as("id_a"), col("rn"))
+      val b = r.select(col("doc_id").as("id_b"), (col("rn") - 1).as("rn"))
+      val edges = a.join(b, Seq("rn")).where(col("rn") % 10 =!= 9).select("id_a", "id_b")
+      graft.ml.DedupClusters.assignComponents(
+        t(s, dir, "documents").select("doc_id"), edges)
+        .select(col("doc_id"), col("comp"))
+    }),
+
+    // OPIC-style integer host rank (frontier prioritization signal): a
+    // deterministic host graph from events, 3 exact-integer propagation
+    // rounds — bit-identical across engines/partitionings by construction.
+    "q43_host_rank" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .where(col("event_id") % 3 === 0)
+        .select((col("user_id") % 50).as("src"), ((col("event_id") * 13) % 50).as("dst"))
+      graft.operators.HostRank.hostRank(e, iters = 3)
+        .select(col("host"), col("rank"))
+    }),
+
+    // Gopher-style repetition signals (dup/top n-gram integer counts) from
+    // the codegen'd single-pass kernel.
+    "q44_repetition_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ml.TextRepetitionFunctions.repetition_stats(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_tokens").as("n_tokens"),
+          col("r.n_distinct_tokens").as("n_distinct_tokens"),
+          col("r.top_token_count").as("top_token_count"),
+          col("r.n_bigrams").as("n_bigrams"),
+          col("r.n_distinct_bigrams").as("n_distinct_bigrams"),
+          col("r.top_bigram_count").as("top_bigram_count"),
+          col("r.n_trigrams").as("n_trigrams"),
+          col("r.n_distinct_trigrams").as("n_distinct_trigrams"),
+          col("r.top_trigram_count").as("top_trigram_count"))))
 
   // --- oracle SQL (DuckDB dialect of the same queries; aliases match) ---
 
@@ -862,6 +908,60 @@ object SparkEntry {
         |SELECT query_id, nbr_id, dot, rank FROM (
         |  SELECT query_id, nbr_id, dot,
         |         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, nbr_id) AS rank
-        |  FROM scored) WHERE rank <= 5""".stripMargin
+        |  FROM scored) WHERE rank <= 5""".stripMargin,
+    // the planted chain graph links ranks rn..rn+1 within each decade, so
+    // components are exactly the rank-decades and comp = decade min doc_id
+    "q42_neardup_components" ->
+      """WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn
+        |           FROM documents),
+        |m AS (SELECT rn // 10 AS dec, min(doc_id) AS comp FROM r GROUP BY 1)
+        |SELECT r.doc_id, m.comp FROM r JOIN m ON r.rn // 10 = m.dec""".stripMargin,
+    // 3 unrolled integer-OPIC rounds (floor div, damping 85/100, scale 1e6)
+    "q43_host_rank" ->
+      """WITH e AS (SELECT DISTINCT user_id % 50 AS src, (event_id * 13) % 50 AS dst
+        |           FROM events
+        |           WHERE event_id % 3 = 0 AND user_id % 50 <> (event_id * 13) % 50),
+        |hosts AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |outd AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank FROM hosts),
+        |r1 AS (SELECT h.host, CAST(150000 + (85 * COALESCE(i.inflow,0)) // 100 AS BIGINT) AS rank
+        |       FROM hosts h LEFT JOIN (
+        |         SELECT e.dst AS host, SUM(r0.rank // o.d) AS inflow
+        |         FROM e JOIN outd o ON e.src = o.src JOIN r0 ON r0.host = e.src
+        |         GROUP BY e.dst) i ON h.host = i.host),
+        |r2 AS (SELECT h.host, CAST(150000 + (85 * COALESCE(i.inflow,0)) // 100 AS BIGINT) AS rank
+        |       FROM hosts h LEFT JOIN (
+        |         SELECT e.dst AS host, SUM(r1.rank // o.d) AS inflow
+        |         FROM e JOIN outd o ON e.src = o.src JOIN r1 ON r1.host = e.src
+        |         GROUP BY e.dst) i ON h.host = i.host),
+        |r3 AS (SELECT h.host, CAST(150000 + (85 * COALESCE(i.inflow,0)) // 100 AS BIGINT) AS rank
+        |       FROM hosts h LEFT JOIN (
+        |         SELECT e.dst AS host, SUM(r2.rank // o.d) AS inflow
+        |         FROM e JOIN outd o ON e.src = o.src JOIN r2 ON r2.host = e.src
+        |         GROUP BY e.dst) i ON h.host = i.host)
+        |SELECT host, rank FROM r3""".stripMargin,
+    // O(n^2)-per-doc list oracle is fine: docs cap out under ~100 tokens
+    "q44_repetition_stats" ->
+      s"""WITH toks AS (SELECT doc_id, string_split($normSql, ' ') AS ts FROM documents),
+        |grams AS (
+        |  SELECT doc_id, ts,
+        |    list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bs,
+        |    list_transform(range(1, len(ts)-1),
+        |                   i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS cs
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CAST(len(ts) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(ts)) AS INT) AS n_distinct_tokens,
+        |  CAST(list_max(list_transform(list_distinct(ts),
+        |       u -> len(list_filter(ts, x -> x = u)))) AS INT) AS top_token_count,
+        |  CAST(greatest(len(ts)-1, 0) AS INT) AS n_bigrams,
+        |  CAST(len(list_distinct(bs)) AS INT) AS n_distinct_bigrams,
+        |  CAST(COALESCE(list_max(list_transform(list_distinct(bs),
+        |       u -> len(list_filter(bs, x -> x = u)))), 0) AS INT) AS top_bigram_count,
+        |  CAST(greatest(len(ts)-2, 0) AS INT) AS n_trigrams,
+        |  CAST(len(list_distinct(cs)) AS INT) AS n_distinct_trigrams,
+        |  CAST(COALESCE(list_max(list_transform(list_distinct(cs),
+        |       u -> len(list_filter(cs, x -> x = u)))), 0) AS INT) AS top_trigram_count
+        |FROM grams""".stripMargin
   )
 }

@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: each stage is one of the already-scale-shaped operators
   * (hash-key shuffles, banded candidate generation, scalar codegen'd
-  * expressions); the near-dup removal keeps the LOWEST doc id of every
-  * duplicate pair (the standard greedy rule — pair lists, not connected
-  * components, so no iterative join; a transitive chain a~b~c with a<b<c
-  * drops b and c either way).
+  * expressions); the default near-dup removal keeps the LOWEST doc id of
+  * every duplicate pair (the greedy rule — one anti-join, no iterative
+  * join; a transitive chain a~b~c with a<b<c drops b and c either way).
+  * `Config.componentDedup` upgrades it to transitive-correct
+  * connected-components clustering ([[DedupClusters]]): for hub-shaped
+  * pair sets {(a,c),(b,c)} greedy keeps BOTH a and b from one duplicate
+  * cluster; components keep exactly the min-id representative, at the
+  * cost of O(log diameter) extra (long, long) shuffles.
   */
 object WebTextPipeline {
 
@@ -26,11 +30,21 @@ object WebTextPipeline {
       shingleWidth: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
+      /** transitive-correct near-dup clustering (connected components over
+        * the pair graph, keep min-id per cluster) instead of the greedy
+        * drop-greater-pair-side rule. */
+      componentDedup: Boolean = false,
       /** quality gate: minimum token count (0 disables). */
       minTokens: Int = 10,
       /** quality gate: minimum stopword ratio (0 disables) — prose, not
         * boilerplate/code, per the usual webtext heuristics. */
       minStopwordRatio: Double = 0.0,
+      /** repetition gate (Gopher §A1.1 family, [[TextRepetition]]):
+        * max fraction of duplicate tokens `1 - distinct/n`; >=1 disables. */
+      maxDupTokenFrac: Double = 1.0,
+      /** repetition gate: max fraction of bigrams that are the single most
+        * common bigram `top_bigram_count / n_bigrams`; >=1 disables. */
+      maxTopBigramFrac: Double = 1.0,
       /** keep only these langid codes (empty = keep all). */
       keepLangs: Seq[String] = Seq.empty)
 
@@ -74,12 +88,23 @@ object WebTextPipeline {
       val pairs = TextDedup.minhashNearDups(
         current, idCol, textCol,
         cfg.shingleWidth, cfg.numHashes, cfg.bands, cfg.minhashThreshold)
-      // keep-lowest-id: every id that appears as the GREATER side of a
-      // near-dup pair is dropped (id_a < id_b by construction)
-      record("minhash_neardup",
-        current.join(
-          pairs.select(col("id_b").as(idCol)).distinct(),
-          Seq(idCol), "left_anti"))
+      if (cfg.componentDedup) {
+        // transitive closure: survivors = untouched docs + each duplicate
+        // cluster's min-id representative
+        val labels = DedupClusters.components(pairs)
+        record("minhash_neardup",
+          current
+            .join(labels.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+            .unionByName(current.join(
+              labels.where(col("id") === col("comp")).select(col("id").as(idCol)),
+              Seq(idCol), "left_semi")))
+      } else
+        // keep-lowest-id: every id that appears as the GREATER side of a
+        // near-dup pair is dropped (id_a < id_b by construction)
+        record("minhash_neardup",
+          current.join(
+            pairs.select(col("id_b").as(idCol)).distinct(),
+            Seq(idCol), "left_anti"))
     }
 
     if (cfg.minTokens > 0 || cfg.minStopwordRatio > 0) {
@@ -91,6 +116,19 @@ object WebTextPipeline {
             (col("_q.n_tokens") >= cfg.minTokens) &&
               (col("_q.stopword_ratio") >= cfg.minStopwordRatio))
           .drop("_q"))
+    }
+
+    if (cfg.maxDupTokenFrac < 1.0 || cfg.maxTopBigramFrac < 1.0) {
+      val r = TextRepetitionFunctions.repetition_stats(col(textCol))
+      record("repetition_gate",
+        current
+          .withColumn("_r", r)
+          .where(
+            (lit(1.0) - col("_r.n_distinct_tokens") /
+              greatest(col("_r.n_tokens"), lit(1)) <= cfg.maxDupTokenFrac) &&
+              (col("_r.top_bigram_count") /
+                greatest(col("_r.n_bigrams"), lit(1)) <= cfg.maxTopBigramFrac))
+          .drop("_r"))
     }
 
     if (cfg.keepLangs.nonEmpty)

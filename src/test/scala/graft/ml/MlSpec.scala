@@ -118,6 +118,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(audit.last.kept == 2L)
   }
 
+  test("curate componentDedup + repetition gate: wiring and audit") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river today!"), // near-dup of 1
+      (4L, "completely different content about spark shuffles and parquet file readers"),
+      (6L, "spam spam spam spam spam spam spam spam spam spam spam spam"),       // dup-token flood
+      (7L, "buy now buy now buy now buy now buy now buy now buy now buy now")    // dominating bigram
+    ).toDF("doc_id", "text")
+    val (kept, audit) = WebTextPipeline.curate(
+      corpus,
+      WebTextPipeline.Config(
+        minhashThreshold = 0.6, componentDedup = true,
+        minTokens = 0, maxDupTokenFrac = 0.5, maxTopBigramFrac = 0.5))
+    assert(audit.map(_.stage) ==
+      Seq("exact_dedup", "minhash_neardup", "repetition_gate"))
+    // component near-dup keeps min id 1 of the {1,2} cluster; the
+    // repetition gate kills 6 (dup-token frac 11/12) and 7 (top bigram
+    // "buy now" 8/15 > 0.5)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    assert(audit.map(s => s.stage -> s.dropped).toMap ==
+      Map("exact_dedup" -> 0L, "minhash_neardup" -> 1L, "repetition_gate" -> 2L))
+    // the component path's survivors agree with the standalone operator
+    val standalone = DedupClusters.minhashComponentDedup(
+      corpus, threshold = 0.6).select("doc_id").as[Long].collect().toSet
+    assert(standalone.intersect(Set(1L, 2L, 4L)) == Set(1L, 4L))
+  }
+
   test("ngram jaccard: candidate-generation shuffles carry no gram arrays") {
     // the block self-join and the pair-dedup must shuffle bare (block, id) /
     // (id_a, id_b) rows; the ~KB distinct-gram arrays join back only after
