@@ -573,21 +573,20 @@ object SparkEntry {
           col("f.stopword_ratio").as("stopword_ratio"))
     }),
 
-    // connected components over a planted chain graph: consecutive docs
-    // (in doc_id rank order) are linked within decades of rank — chains of
-    // diameter 9, so the iterative min-propagation + pointer-jumping loop
-    // provably runs multiple rounds (not one lucky pass); the oracle is
-    // the min doc_id of each rank-decade. Transitive-correct clustering is
-    // what greedy pair-dedup cannot express (see DedupClusters scaladoc).
+    // connected components over a planted chain graph: consecutive doc_ids
+    // (dense 0..N-1 in this corpus) are linked within id-decades — chains
+    // of diameter 9, so the iterative min-propagation + pointer-jumping
+    // loop provably runs multiple rounds (not one lucky pass); the oracle
+    // is the decade-min id. Transitive-correct clustering is what greedy
+    // pair-dedup cannot express (see DedupClusters scaladoc). The id+1
+    // join (not a global-window rank) keeps edge synthesis scan-shaped.
     "q42_neardup_components" -> ((s, dir) => {
-      val w = Window.orderBy(col("doc_id"))
-      val r = t(s, dir, "documents")
-        .select(col("doc_id")).withColumn("rn", row_number().over(w) - 1)
-      val a = r.select(col("doc_id").as("id_a"), col("rn"))
-      val b = r.select(col("doc_id").as("id_b"), (col("rn") - 1).as("rn"))
-      val edges = a.join(b, Seq("rn")).where(col("rn") % 10 =!= 9).select("id_a", "id_b")
-      graft.ml.DedupClusters.assignComponents(
-        t(s, dir, "documents").select("doc_id"), edges)
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val edges = d.where(col("doc_id") % 10 =!= 9)
+        .join(d.select((col("doc_id") - 1).as("doc_id"), col("doc_id").as("id_b")),
+          Seq("doc_id"))
+        .select(col("doc_id").as("id_a"), col("id_b"))
+      graft.ml.DedupClusters.assignComponents(d, edges)
         .select(col("doc_id"), col("comp"))
     }),
 
@@ -909,13 +908,11 @@ object SparkEntry {
         |  SELECT query_id, nbr_id, dot,
         |         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, nbr_id) AS rank
         |  FROM scored) WHERE rank <= 5""".stripMargin,
-    // the planted chain graph links ranks rn..rn+1 within each decade, so
-    // components are exactly the rank-decades and comp = decade min doc_id
+    // the planted chain links ids id..id+1 within each decade, so the
+    // components are exactly the id-decades and comp = the decade min id
     "q42_neardup_components" ->
-      """WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rn
-        |           FROM documents),
-        |m AS (SELECT rn // 10 AS dec, min(doc_id) AS comp FROM r GROUP BY 1)
-        |SELECT r.doc_id, m.comp FROM r JOIN m ON r.rn // 10 = m.dec""".stripMargin,
+      """SELECT doc_id, CAST((doc_id // 10) * 10 AS BIGINT) AS comp
+        |FROM documents""".stripMargin,
     // 3 unrolled integer-OPIC rounds (floor div, damping 85/100, scale 1e6)
     "q43_host_rank" ->
       """WITH e AS (SELECT DISTINCT user_id % 50 AS src, (event_id * 13) % 50 AS dst

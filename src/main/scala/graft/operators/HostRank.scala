@@ -57,7 +57,8 @@ object HostRank {
       iters: Int = 3,
       scale: Long = 1000000L,
       dampNum: Long = 85L,
-      dampDen: Long = 100L): DataFrame = {
+      dampDen: Long = 100L,
+      checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen)
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
@@ -72,7 +73,7 @@ object HostRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val base = (scale * (dampDen - dampNum)) / dampDen
 
-    var ranks = hosts.select(col("host"), lit(scale).as("rank")).localCheckpoint(true)
+    var ranks = hosts.select(col("host"), lit(scale).as("rank"))
     var i = 0
     while (i < iters) {
       val contrib = e
@@ -86,11 +87,19 @@ object HostRank {
         .select(col("host"),
           (lit(base) + expr(s"(${dampNum}L * coalesce(inflow, 0L)) div ${dampDen}L"))
             .as("rank"))
-        .localCheckpoint(true)
       i += 1
+      // no per-round action here (unlike DedupClusters' convergence probe),
+      // so intermediate materialization is pure overhead for small iters;
+      // checkpoint only every few rounds to bound plan depth/codegen size
+      // on long runs while letting short runs execute as ONE fused job
+      if (i % math.max(1, checkpointEvery) == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
     }
+    // materialize ONCE (the whole remaining chain fuses into this job)
+    // before releasing the cached edge/degree tables it references
+    val out = ranks.localCheckpoint(true)
     e.unpersist(); hosts.unpersist(); outdeg.unpersist()
-    ranks
+    out
   }
 
   /** Attach a rank-derived priority to a frontier frame on its host hash:
