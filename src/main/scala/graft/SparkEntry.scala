@@ -616,7 +616,85 @@ object SparkEntry {
           col("r.top_bigram_count").as("top_bigram_count"),
           col("r.n_trigrams").as("n_trigrams"),
           col("r.n_distinct_trigrams").as("n_distinct_trigrams"),
-          col("r.top_trigram_count").as("top_trigram_count"))))
+          col("r.top_trigram_count").as("top_trigram_count"))),
+
+    // PII scrub over a corpus with deterministically injected identifiers
+    // (the raw word-soup has none): one email, one ipv4, one phone per
+    // doc, plus near-miss junk on every 5th doc exercising the non-match
+    // paths (empty domain labels, 2-quad "ip", wrong-width "phone"). The
+    // oracle re-runs the same three patterns through DuckDB's RE2
+    // regexp_extract_all/regexp_replace — a genuine cross-matcher check
+    // of the hand-rolled scanner.
+    "q45_pii_scrub" -> ((s, dir) => {
+      val id = col("doc_id")
+      val pii = concat(
+        col("text"),
+        lit(" contact user"), id.cast("string"),
+        lit("@mail"), (id % 7).cast("string"), lit(".example.com"),
+        lit(" from "), (id % 223).cast("string"), lit("."),
+        ((id * 7) % 256).cast("string"),
+        lit(".0."), ((id * 13) % 250).cast("string"),
+        lit(" tel "), (id % 900 + 100).cast("string"), lit("-555-"),
+        lpad((id % 10000).cast("string"), 4, "0"),
+        when(id % 5 === 0, lit(" junk bad@@example..q 12.34 99-999-9999"))
+          .otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(id.as("doc_id"), graft.ml.PiiScrubFunctions.pii_scrub(pii).as("p"))
+        .select(col("doc_id"),
+          col("p.n_emails").as("n_emails"), col("p.n_ipv4").as("n_ipv4"),
+          col("p.n_phones").as("n_phones"), col("p.redacted").as("redacted"))
+    }),
+
+    // CCNet-style corpus-level line dedup over synthesized multi-line
+    // docs: a footer shared by ALL docs (always dropped), per-decade promo
+    // lines (dropped at every SF), per-id%100 section lines (kept at
+    // sf0.001 where each occurs 5x, dropped at sf0.01+ where 50x > 20 —
+    // the threshold semantics flip with scale and the oracle follows),
+    // and unique head/tail content that always survives.
+    "q46_line_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val lined = concat(
+        lit("head "), substring(col("text"), 1, 40), lit("\n"),
+        lit("all rights reserved - syndicated footer"), lit("\n"),
+        lit("promo "), (id % 10).cast("string"), lit("\n"),
+        lit("sec "), (id % 100).cast("string"), lit("\n"),
+        lit("tail "), substring(col("text"), 41, 60))
+      graft.ml.LineDedup.dropFrequentLines(
+        t(s, dir, "documents").select(id.as("doc_id"), lined.as("text")),
+        maxOcc = 20)
+    }),
+
+    // deterministic md5-keyed sampling: per-source top-3 (the stratified
+    // quota; WindowGroupLimit pre-shuffle — plan-asserted in
+    // HashSampleSpec) with the scan-side bernoulli flag alongside.
+    "q47_hash_sample" -> ((s, dir) =>
+      graft.operators.HashSample.stratifiedTopK(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", k = 3)
+        .withColumn("bern",
+          // salted: the rank order is md5(id) itself, so an unsalted flag
+          // would be ~1 on every top-k row instead of an independent draw
+          graft.operators.HashSample.bernoulliKeep(col("doc_id"), 0.1, salt = "q47")
+            .cast("int"))
+        .select(col("doc_id"), col("source"), col("rk"), col("bern"))),
+
+    // SemDeDup over a planted corpus: every vector gets a (1 + 2^-10)-
+    // scaled twin — float-exact in both engines, cosine ≈ 1 — and the
+    // pairs output verifies the WHOLE method cross-engine: seed-centroid
+    // assignment (lloydIters = 0 keeps the oracle closed-form; the
+    // Lloyd-refined path is spec'd in SemDedupSpec), within-cluster
+    // scoping, and the exact cosine threshold, all in bit-stable double
+    // arithmetic (same left-to-right accumulation as the q25 oracle).
+    "q48_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.unionByName(e.select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(1.0009765625f)).cast("float"))
+          .as("embedding")))
+      graft.ml.SemDedup.semanticNearDupPairs(
+        planted, threshold = 0.95, nCentroids = 16, lloydIters = 0)
+        .select(col("cid"), col("id_a"), col("id_b"), col("cosine"))
+    }))
 
   // --- oracle SQL (DuckDB dialect of the same queries; aliases match) ---
 
@@ -959,6 +1037,90 @@ object SparkEntry {
         |  CAST(len(list_distinct(cs)) AS INT) AS n_distinct_trigrams,
         |  CAST(COALESCE(list_max(list_transform(list_distinct(cs),
         |       u -> len(list_filter(cs, x -> x = u)))), 0) AS INT) AS top_trigram_count
-        |FROM grams""".stripMargin
+        |FROM grams""".stripMargin,
+    // three chained RE2 passes: count over each pass's input, then
+    // global-replace — the cross-matcher oracle for the hand scanner
+    "q45_pii_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    concat(text,
+        |      ' contact user', CAST(doc_id AS VARCHAR),
+        |      '@mail', CAST(doc_id % 7 AS VARCHAR), '.example.com',
+        |      ' from ', CAST(doc_id % 223 AS VARCHAR), '.', CAST((doc_id * 7) % 256 AS VARCHAR),
+        |      '.0.', CAST((doc_id * 13) % 250 AS VARCHAR),
+        |      ' tel ', CAST(doc_id % 900 + 100 AS VARCHAR), '-555-',
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |      CASE WHEN doc_id % 5 = 0 THEN ' junk bad@@example..q 12.34 99-999-9999' ELSE '' END) AS t
+        |  FROM documents),
+        |p1 AS (SELECT doc_id,
+        |         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |       FROM base),
+        |p2 AS (SELECT doc_id, n_emails,
+        |         CAST(len(regexp_extract_all(t1, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS INT) AS n_ipv4,
+        |         regexp_replace(t1, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS t2
+        |       FROM p1)
+        |SELECT doc_id, n_emails, n_ipv4,
+        |       CAST(len(regexp_extract_all(t2, '\d{3}-\d{3}-\d{4}')) AS INT) AS n_phones,
+        |       regexp_replace(t2, '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+        |FROM p2""".stripMargin,
+    // corpus-wide line counts -> drop > 20, reassemble in original order
+    "q46_line_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    concat('head ', substr(text, 1, 40), chr(10),
+        |           'all rights reserved - syndicated footer', chr(10),
+        |           'promo ', CAST(doc_id % 10 AS VARCHAR), chr(10),
+        |           'sec ', CAST(doc_id % 100 AS VARCHAR), chr(10),
+        |           'tail ', substr(text, 41, 60)) AS t
+        |  FROM documents),
+        |lines AS (SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+        |                 unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos
+        |          FROM base),
+        |freq AS (SELECT line FROM lines GROUP BY line HAVING count(*) > 20)
+        |SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.pos) AS text
+        |FROM lines l LEFT JOIN freq f ON l.line = f.line
+        |WHERE f.line IS NULL
+        |GROUP BY l.doc_id""".stripMargin,
+    // seeds-as-centroids assignment (argmax dot/|c|, lowest-cid ties),
+    // within-cluster pairs, exact cosine >= 0.95 — the same double
+    // accumulation order as the engine's VecKernels
+    "q48_semantic_dedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         list_transform(embedding, x -> CAST(x * CAST(1.0009765625 AS FLOAT) AS FLOAT))
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cid,
+        |                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec,
+        |                 greatest(sqrt(list_sum(list_transform(embedding,
+        |                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-12) AS cnorm
+        |          FROM embeddings WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT c.vec_id AS id, t.cid,
+        |    row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |      list_sum(list_transform(list_zip(c.embedding, t.cvec),
+        |        p -> CAST(p[1] AS DOUBLE) * p[2])) / t.cnorm DESC, t.cid) AS rn
+        |  FROM corpus c, cents t),
+        |assigned AS (SELECT c.vec_id AS id, c.embedding AS vec, s.cid
+        |             FROM corpus c JOIN (SELECT id, cid FROM scored WHERE rn = 1) s ON c.vec_id = s.id),
+        |pairs AS (
+        |  SELECT a.cid, a.id AS id_a, b.id AS id_b,
+        |    list_sum(list_transform(list_zip(a.vec, b.vec),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id)
+        |SELECT cid, id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95""".stripMargin,
+    "q47_hash_sample" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, rk,
+        |       CAST(substr(md5(concat('q47', CAST(doc_id AS VARCHAR))), 1, 4) < '199a' AS INT) AS bern
+        |FROM ranked WHERE rk <= 3""".stripMargin
   )
 }

@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
 object WebTextPipeline {
 
   final case class Config(
+      /** corpus-level duplicated-line removal ([[LineDedup]], CCNet-style
+        * paragraph dedup) BEFORE whole-document dedup — so documents that
+        * differ only by shared boilerplate collapse to exact duplicates;
+        * 0 disables. */
+      maxLineOcc: Long = 0L,
       /** drop exact duplicates (whitespace/case-normalized text). */
       exactDedup: Boolean = true,
       /** MinHash-LSH near-dup removal; 0 disables. */
@@ -46,7 +51,10 @@ object WebTextPipeline {
         * common bigram `top_bigram_count / n_bigrams`; >=1 disables. */
       maxTopBigramFrac: Double = 1.0,
       /** keep only these langid codes (empty = keep all). */
-      keepLangs: Seq[String] = Seq.empty)
+      keepLangs: Seq[String] = Seq.empty,
+      /** redact emails/ipv4s/phones from the surviving corpus as the final
+        * stage ([[PiiScrub]]) — a pure projection, drops nothing. */
+      piiRedact: Boolean = false)
 
   final case class StageCount(stage: String, kept: Long, dropped: Long)
 
@@ -79,6 +87,16 @@ object WebTextPipeline {
       audit += StageCount(stage, kept, n - kept)
       current = next
       n = kept
+    }
+
+    if (cfg.maxLineOcc > 0) {
+      // the reassembly rewrites textCol and keeps only (id, text); other
+      // payload columns rejoin by id (inner: fully-boilerplate docs drop)
+      val rebuilt = LineDedup.dropFrequentLines(
+        current.select(col(idCol), col(textCol)), cfg.maxLineOcc, idCol, textCol)
+      record("line_dedup",
+        if (current.columns.length == 2) rebuilt
+        else current.drop(textCol).join(rebuilt, Seq(idCol)))
     }
 
     if (cfg.exactDedup)
@@ -134,6 +152,12 @@ object WebTextPipeline {
     if (cfg.keepLangs.nonEmpty)
       record("lang_filter",
         current.where(TextAnalysis.langId(col(textCol)).isin(cfg.keepLangs: _*)))
+
+    if (cfg.piiRedact)
+      record("pii_redact",
+        current.withColumn(
+          textCol,
+          PiiScrubFunctions.pii_scrub(col(textCol)).getField("redacted")))
 
     (current, audit.toSeq)
   }

@@ -145,6 +145,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(standalone.intersect(Set(1L, 2L, 4L)) == Set(1L, 4L))
   }
 
+  test("curate line_dedup + pii_redact stages: order, audit, payload-column survival") {
+    val corpus = Seq(
+      (1L, "alpha content one\nshared footer line\ncontact me at a@ex.com", "s1"),
+      (2L, "beta content two\nshared footer line\nip is 10.0.0.1", "s2"),
+      (3L, "gamma content three\nshared footer line\ncall 555-123-4567", "s3"),
+      (4L, "shared footer line", "s4"), // only boilerplate -> doc drops
+      (5L, "delta content five\nshared footer line\nplain", "s5")
+    ).toDF("doc_id", "text", "src")
+    val (kept, audit) = WebTextPipeline.curate(
+      corpus,
+      WebTextPipeline.Config(
+        maxLineOcc = 3, minhashThreshold = 0, minTokens = 0, piiRedact = true))
+    assert(audit.map(_.stage) == Seq("line_dedup", "exact_dedup", "pii_redact"))
+    val byId = kept.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // the footer (5 occurrences > 3) is gone from every doc; doc 4 vanishes
+    assert(byId.keySet == Set(1L, 2L, 3L, 5L))
+    assert(byId(1L) == "alpha content one\ncontact me at <EMAIL>")
+    assert(byId(2L) == "beta content two\nip is <IP>")
+    assert(byId(3L) == "gamma content three\ncall <PHONE>")
+    assert(audit.map(s => s.stage -> s.dropped).toMap ==
+      Map("line_dedup" -> 1L, "exact_dedup" -> 0L, "pii_redact" -> 0L))
+    // the non-text payload column rides through the reassembly join
+    assert(kept.columns.contains("src"))
+    assert(kept.where($"doc_id" === 5L).select("src").as[String].head() == "s5")
+  }
+
   test("ngram jaccard: candidate-generation shuffles carry no gram arrays") {
     // the block self-join and the pair-dedup must shuffle bare (block, id) /
     // (id_a, id_b) rows; the ~KB distinct-gram arrays join back only after
