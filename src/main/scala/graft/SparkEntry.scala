@@ -694,6 +694,17 @@ object SparkEntry {
       graft.ml.SemDedup.semanticNearDupPairs(
         planted, threshold = 0.95, nCentroids = 16, lloydIters = 0)
         .select(col("cid"), col("id_a"), col("id_b"), col("cosine"))
+    }),
+
+    // benchmark decontamination: every doc_id % 97 == 0 doc doubles as a
+    // "benchmark" doc, so those flag themselves — and the word-soup corpus
+    // has genuine coincidental 8-gram collisions too (docs 0/50/82 at
+    // sf0.001), which both engines must count identically.
+    "q49_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.where(col("doc_id") % 97 === 0)
+      graft.ml.Decontaminate.contaminationCounts(docs, bench, n = 8)
+        .select(col("doc_id"), col("n_hits"), col("contaminated"))
     }))
 
   // --- oracle SQL (DuckDB dialect of the same queries; aliases match) ---
@@ -1113,6 +1124,22 @@ object SparkEntry {
         |     * sqrt(list_sum(list_transform(b.vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
         |  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.id < b.id)
         |SELECT cid, id_a, id_b, cosine FROM pairs WHERE cosine >= 0.95""".stripMargin,
+    // gram positions counted against the benchmark's DISTINCT gram set
+    "q49_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ts
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 8 + 2, 1)),
+        |    i -> array_to_string(ts[i:i+7], ' '))) AS gram
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        |hits AS (SELECT g.doc_id, count(*) AS n_hits
+        |         FROM grams g JOIN bench b ON g.gram = b.gram
+        |         GROUP BY g.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       CAST(COALESCE(h.n_hits, 0) > 0 AS INT) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""".stripMargin,
     "q47_hash_sample" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,

@@ -85,6 +85,31 @@ object TextRepetition {
     }
   }
 
+  /** The n-gram array itself (same norm/split/join semantics as
+    * [[statsRow]]'s multiset), for operators that join on grams rather
+    * than count them — e.g. [[Decontaminate]]. Empty array when the text
+    * has fewer than n tokens. */
+  def ngramArray(
+      t: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val tokens = splitTokens(TextEnrich.normText(t.toString))
+    val count = tokens.length - (n - 1)
+    if (count <= 0)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        val sb = new java.lang.StringBuilder(tokens(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(tokens(i + j)); j += 1 }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   def statsRow(t: org.apache.spark.unsafe.types.UTF8String): GenericInternalRow = {
     val tokens = splitTokens(TextEnrich.normText(t.toString))
     val (d1, t1) = gramStats(tokens, 1)
@@ -110,7 +135,23 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `token_ngrams(text, n)` → array<string> of the text's n-token grams —
+  * see [[TextRepetition.ngramArray]]. */
+case class TokenNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"token_ngrams width must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_ngrams"
+  override protected def nullSafeEval(t: Any): Any =
+    TextRepetition.ngramArray(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.ml.TextRepetition.ngramArray($t, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextRepetitionFunctions {
   def repetition_stats(text: Column): Column =
     EU.column(RepetitionStats(EU.expression(text)))
+  def token_ngrams(text: Column, n: Int): Column =
+    EU.column(TokenNgrams(EU.expression(text), n))
 }
