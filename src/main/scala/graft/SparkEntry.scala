@@ -705,6 +705,59 @@ object SparkEntry {
       val bench = docs.where(col("doc_id") % 97 === 0)
       graft.ml.Decontaminate.contaminationCounts(docs, bench, n = 8)
         .select(col("doc_id"), col("n_hits"), col("contaminated"))
+    }),
+
+    // hashed-linear model-based quality filter (CCNet/GPT-3 stage); the
+    // md5-derived weight table makes every score bit-reproducible in
+    // DuckDB — see QualityModel's scaladoc for why that's the right test
+    // of the SERVING operator
+    "q50_quality_model" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ml.QualityModelFunctions.quality_score(col("text"), "q50").as("q"))
+        .select(col("doc_id"),
+          col("q.n_tokens").cast("long").as("n_tokens"),
+          col("q.score").as("score"),
+          (col("q.score") > 0).cast("int").as("keep"))),
+
+    // token-window chunking (training sequence prep): width 40 / stride 24
+    // at this corpus's token lengths yields multi-chunk docs with short
+    // tails, single-chunk docs, and exact-boundary docs in one run
+    "q51_chunk_windows" -> ((s, dir) =>
+      graft.ml.TextChunk.chunkWindows(
+        t(s, dir, "documents").select("doc_id", "text"), "text", width = 40, stride = 24)
+        .select(col("doc_id"),
+          col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_text"),
+          col("chunk_tokens").cast("long").as("chunk_tokens"))),
+
+    // crawl-scope URL rules over a synthesized URL column that exercises
+    // every rule and the precedence order (scheme > host > ext > depth >
+    // length) — doc_id arithmetic keeps both engines' inputs identical
+    "q52_url_scope" -> ((s, dir) => {
+      val d = col("doc_id")
+      val scheme = when(d % 11 === 7, "ftp").when(d % 2 === 0, "https").otherwise("http")
+      val host = concat(lit("h"), (d % 23).cast("string"),
+        when(d % 5 === 0, ".SPAM.example").otherwise(".example.com"))
+      val port = when(d % 17 === 0, ":8080").otherwise("")
+      val ext = when(d % 7 === 0, ".EXE").when(d % 7 === 1, ".html")
+        .when(d % 7 === 2, ".tar.gz").otherwise("")
+      val qs = when(d % 13 === 0, concat(lit("?session="), lit("x" * 40))).otherwise("")
+      val tail = when(d % 19 === 0, lit(""))
+        .otherwise(concat(expr("repeat('/d', CAST(doc_id % 9 AS INT))"),
+          lit("/f"), d.cast("string"), ext, qs))
+      val rules = graft.operators.UrlScope.Rules(
+        allowedSchemes = Set("http", "https"),
+        blockedHostSuffixes = Set("spam.example"),
+        blockedExtensions = Set("exe", "zip"),
+        maxPathSegments = 6,
+        maxUrlLength = 80)
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(scheme, lit("://"), host, port, tail).as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.operators.UrlScope.verdict(col("url"), rules).as("v"))
+        .select(col("doc_id"), col("url"),
+          col("v.keep").cast("int").as("keep"), col("v.reason").as("reason"))
     }))
 
   // --- oracle SQL (DuckDB dialect of the same queries; aliases match) ---
@@ -1148,6 +1201,76 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, rk,
         |       CAST(substr(md5(concat('q47', CAST(doc_id AS VARCHAR))), 1, 4) < '199a' AS INT) AS bern
-        |FROM ranked WHERE rk <= 3""".stripMargin
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+    // hashed-linear quality score: weight = first 16 md5 bits, centered
+    "q50_quality_model" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm FROM documents),
+        |s AS (SELECT doc_id,
+        |        CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+        |        CAST(list_sum(list_transform(string_split(norm, ' '),
+        |          t -> CAST('0x' || substr(md5('q50|' || t), 1, 4) AS INTEGER) - 32768)) AS BIGINT) AS score
+        |      FROM n)
+        |SELECT doc_id, n_tokens, score, CAST(score > 0 AS INT) AS keep FROM s""".stripMargin,
+    // token windows: width 40, stride 24; DuckDB list slices are 1-based
+    // end-inclusive and clamp, mirroring Spark's slice()
+    "q51_chunk_windows" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, len(toks) AS nt,
+        |        CASE WHEN len(toks) <= 40 THEN 1
+        |             ELSE 1 + CAST(ceil((len(toks) - 40) / 24.0) AS BIGINT) END AS nc
+        |      FROM n),
+        |e AS (SELECT doc_id, toks, nt, unnest(range(nc)) AS chunk_idx FROM c)
+        |SELECT doc_id, chunk_idx,
+        |       array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 40], ' ') AS chunk_text,
+        |       least(chunk_idx*24 + 40, nt) - chunk_idx*24 AS chunk_tokens
+        |FROM e""".stripMargin,
+    // same URL synthesis + anatomy + rule order as the Spark side
+    "q52_url_scope" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 11 = 7 THEN 'ftp' WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+        |    || '://'
+        |    || 'h' || (doc_id % 23) || (CASE WHEN doc_id % 5 = 0 THEN '.SPAM.example' ELSE '.example.com' END)
+        |    || (CASE WHEN doc_id % 17 = 0 THEN ':8080' ELSE '' END)
+        |    || (CASE WHEN doc_id % 19 = 0 THEN ''
+        |        ELSE repeat('/d', CAST(doc_id % 9 AS INTEGER)) || '/f' || doc_id
+        |             || (CASE WHEN doc_id % 7 = 0 THEN '.EXE' WHEN doc_id % 7 = 1 THEN '.html'
+        |                      WHEN doc_id % 7 = 2 THEN '.tar.gz' ELSE '' END)
+        |             || (CASE WHEN doc_id % 13 = 0 THEN '?session=' || repeat('x', 40) ELSE '' END)
+        |        END) AS url
+        |  FROM documents),
+        |a AS (
+        |  SELECT doc_id, url,
+        |    lower(split_part(url, '://', 1)) AS scheme,
+        |    split_part(url, '://', 2) AS rest
+        |  FROM u),
+        |b AS (
+        |  SELECT doc_id, url, scheme,
+        |    lower(split_part(split_part(rest, '/', 1), ':', 1)) AS host,
+        |    split_part(split_part(
+        |      CASE WHEN strpos(rest, '/') = 0 THEN '/' ELSE substr(rest, strpos(rest, '/')) END,
+        |      '?', 1), '#', 1) AS path
+        |  FROM a),
+        |c AS (
+        |  SELECT doc_id, url, scheme, host, path,
+        |    string_split(path, '/')[len(string_split(path, '/'))] AS lastseg,
+        |    len(list_filter(string_split(path, '/'), x -> x <> '')) AS nsegs
+        |  FROM b),
+        |d AS (
+        |  SELECT doc_id, url,
+        |    CASE WHEN scheme NOT IN ('http', 'https') THEN 'scheme'
+        |         WHEN host = 'spam.example' OR host LIKE '%.spam.example' THEN 'host_blocked'
+        |         WHEN (CASE WHEN len(string_split(lastseg, '.')) > 1
+        |                    THEN lower(string_split(lastseg, '.')[len(string_split(lastseg, '.'))])
+        |                    ELSE '' END) IN ('exe', 'zip') THEN 'extension'
+        |         WHEN nsegs > 6 THEN 'depth'
+        |         WHEN length(url) > 80 THEN 'length'
+        |         ELSE 'ok' END AS reason
+        |  FROM c)
+        |SELECT doc_id, url, CAST(reason = 'ok' AS INT) AS keep, reason FROM d""".stripMargin
   )
 }

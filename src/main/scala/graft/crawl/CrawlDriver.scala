@@ -24,6 +24,12 @@ final case class CrawlConfig(
       * every discovered link. */
     linkFilterContains: Option[String] = None,
     maxDepth: Int = Int.MaxValue,
+    /** crawl-scope rule gate ([[graft.operators.UrlScope]]: scheme / host
+      * blocklist / extension / path depth / length) applied to every
+      * CANONICALIZED discovered link before the frontier insert — the
+      * production crawler's trap-and-binary guard. Seeds are not gated
+      * (operator intent). None disables. */
+    scope: Option[graft.operators.UrlScope.Rules] = None,
     blockCap: Int = 1000,
     /** false → skip the per-tick stat counts (extra actions); bench mode.
       * The loop still learns `scheduled` (needed for termination). */
@@ -516,8 +522,15 @@ final class CrawlDriver(
         col("src_hash"),
         (col("src_depth") + 1).cast("double").as("priority"))
 
+    // crawl-scope rule gate on the canonical url — scan-side expression,
+    // evaluated once per link before the dedup shuffle (out-of-scope links
+    // never cost a shuffle write)
+    val scoped = cfg.scope
+      .map(r => candidates.where(graft.operators.UrlScope.inScope(col("url"), r)))
+      .getOrElse(candidates)
+
     // within-batch first-discovery-wins: the total order (depth, ts, seq, src)
-    val batchDedup = candidates
+    val batchDedup = scoped
       .groupBy(col("url_hash"))
       .agg(min_by(
         struct(col("url"), col("host"), col("depth"), col("discovery_ts"),

@@ -52,6 +52,15 @@ object WebTextPipeline {
       maxTopBigramFrac: Double = 1.0,
       /** keep only these langid codes (empty = keep all). */
       keepLangs: Seq[String] = Seq.empty,
+      /** model-based quality gate ([[QualityModel]], the CCNet/GPT-3
+        * classifier-filter stage): keep docs whose hashed-linear score
+        * exceeds the threshold. Thresholds are corpus-calibrated offline
+        * (the score is an exact int64, so a calibrated cut is
+        * reproducible). None disables. */
+      modelMinScore: Option[Long] = None,
+      /** weight-table name for the model gate (seed of the hash-derived
+        * weights; a learned table swaps in without a plan change). */
+      modelSeed: String = "quality",
       /** redact emails/ipv4s/phones from the surviving corpus as the final
         * stage ([[PiiScrub]]) — a pure projection, drops nothing. */
       piiRedact: Boolean = false)
@@ -152,6 +161,13 @@ object WebTextPipeline {
     if (cfg.keepLangs.nonEmpty)
       record("lang_filter",
         current.where(TextAnalysis.langId(col(textCol)).isin(cfg.keepLangs: _*)))
+
+    cfg.modelMinScore.foreach { minScore =>
+      record("model_gate",
+        current.where(
+          QualityModelFunctions.quality_score(col(textCol), cfg.modelSeed)
+            .getField("score") > minScore))
+    }
 
     if (cfg.piiRedact)
       record("pii_redact",

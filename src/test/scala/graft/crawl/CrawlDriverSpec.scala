@@ -482,4 +482,39 @@ class CrawlDriverSpec extends AnyFunSuite {
     // consumers join the delta on url_hash with no Exchange on the lake side
     assert(delta.map(_._1).subsetOf(full.map(_._1)))
   }
+
+  test("url scope: out-of-scope discovered links never enter frontier or fetch log") {
+    val cfg0 = CrawlConfig(budget = 3, seenPartitions = 8, expectedPerSegment = 4096)
+    val seeds = PageSynth.seeds(N, 3)
+    val seedHosts = seeds.map(s => UrlCanonicalizer.host(UrlCanonicalizer.canonicalize(s.url))).toSet
+
+    // pick a host the unscoped crawl discovers but that seeds no crawl
+    val (base, baseLake) = newDriver(cfg0)
+    val victim =
+      try {
+        base.init(seeds)
+        base.run(3)
+        base.frontier.select("host").as[String].collect().toSet
+          .diff(seedHosts).minOption
+          .getOrElse(fail("unscoped crawl discovered no non-seed host"))
+      } finally { base.close(); baseLake.drop() }
+
+    val rules = graft.operators.UrlScope.Rules(blockedHostSuffixes = Set(victim))
+    val (driver, lake) = newDriver(cfg0.copy(scope = Some(rules)))
+    try {
+      driver.init(seeds)
+      driver.run(3)
+      val frontierHosts = driver.frontier.select("host").as[String].collect()
+      assert(!frontierHosts.contains(victim), s"blocked host $victim reached the frontier")
+      val fetched = driver.fetchLog.select("url").as[String].collect()
+      assert(!fetched.exists(u => UrlCanonicalizer.host(u) == victim),
+        s"blocked host $victim was fetched")
+      // the gate is a filter, not a rewrite: every surviving frontier row
+      // passes the rules
+      val inScope = driver.frontier
+        .where(!graft.operators.UrlScope.inScope(col("url"), rules))
+        .count()
+      assert(inScope == 0L)
+    } finally { driver.close(); lake.drop() }
+  }
 }

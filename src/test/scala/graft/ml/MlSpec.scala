@@ -172,6 +172,30 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kept.where($"doc_id" === 5L).select("src").as[String].head() == "s5")
   }
 
+  test("curate model_gate stage: wiring, audit, threshold semantics") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta words"),
+      (2L, "epsilon zeta eta theta words"),
+      (3L, "iota kappa lambda mu words"),
+      (4L, "nu xi omicron pi words")).toDF("doc_id", "text")
+    // score semantics are QualityModelSpec's job; here pick the median cut
+    // from the operator itself and assert curate keeps exactly score > cut
+    val scores = corpus
+      .select($"doc_id",
+        QualityModelFunctions.quality_score($"text", "wire").getField("score").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cut = scores.values.toSeq.sorted.apply(1) // keep the top 2
+    val (kept, audit) = WebTextPipeline.curate(
+      corpus,
+      WebTextPipeline.Config(
+        minhashThreshold = 0, minTokens = 0,
+        modelMinScore = Some(cut), modelSeed = "wire"))
+    assert(audit.map(_.stage) == Seq("exact_dedup", "model_gate"))
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      scores.filter(_._2 > cut).keys.toSet)
+    assert(audit.last.dropped == scores.count(_._2 <= cut))
+  }
+
   test("ngram jaccard: candidate-generation shuffles carry no gram arrays") {
     // the block self-join and the pair-dedup must shuffle bare (block, id) /
     // (id_a, id_b) rows; the ~KB distinct-gram arrays join back only after
