@@ -731,6 +731,36 @@ object SparkEntry {
           col("chunk_text"),
           col("chunk_tokens").cast("long").as("chunk_tokens"))),
 
+    // REAL video pixels: per-doc MJPEG mp4s (1-4 block-constant gray
+    // frames, q=1 DC-only => bit-exact — the q41 contract lifted to
+    // video), muxed with varying chunk geometry; the engine walks the
+    // ISO-BMFF sample tables, decodes EVERY frame through the
+    // from-scratch JPEG codec, and DuckDB recomputes the whole-video
+    // luma sum arithmetically
+    "q53_mp4_mjpeg_frames" -> ((s, dir) => {
+      val mkMp4 = udf { (nChars: Long) =>
+        val w = (8 + nChars % 17).toInt
+        val h = (8 + nChars % 13).toInt
+        val nf = (1 + nChars % 4).toInt
+        val frames = (0 until nf).map { f =>
+          val px = Array.tabulate(w * h) { i =>
+            ((nChars + f + 17 * ((i / w) / 8) + 29 * ((i % w) / 8)) % 251).toByte
+          }
+          graft.media.JpegCodec.encodeGray(w, h, px, q = 1)
+        }
+        graft.media.Mp4Codec.encodeMjpeg(frames, w, h,
+          chunkSize = 1 + (nChars % 3).toInt)
+      }
+      val blobs = t(s, dir, "documents")
+        .select(col("doc_id"), mkMp4(col("n_chars").cast("long")).as("blob"))
+      graft.media.Media.videoLumaTotals(graft.media.Media.decodeMeta(blobs))
+        .select(
+          col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_frames").as("n_frames"),
+          col("n_frames_decoded"), col("luma_total"))
+    }),
+
     // crawl-scope URL rules over a synthesized URL column that exercises
     // every rule and the precedence order (scheme > host > ext > depth >
     // length) — doc_id arithmetic keeps both engines' inputs identical
@@ -1228,6 +1258,22 @@ object SparkEntry {
         |       array_to_string(toks[chunk_idx*24 + 1 : chunk_idx*24 + 40], ' ') AS chunk_text,
         |       least(chunk_idx*24 + 40, nt) - chunk_idx*24 AS chunk_tokens
         |FROM e""".stripMargin,
+    // whole-video luma: frame f's pixel (x,y) = (n_chars + f + 17*(y/8)
+    // + 29*(x/8)) % 251, summed over every frame — j linearizes
+    // (frame, pixel)
+    "q53_mp4_mjpeg_frames" ->
+      """SELECT doc_id, 'mp4' AS format,
+        |  CAST(8 + n_chars % 17 AS INT) AS width,
+        |  CAST(8 + n_chars % 13 AS INT) AS height,
+        |  CAST(1 + n_chars % 4 AS INT) AS n_frames,
+        |  CAST(1 + n_chars % 4 AS INT) AS n_frames_decoded,
+        |  CAST(list_sum(
+        |    [(n_chars + (j // ((8 + n_chars % 17) * (8 + n_chars % 13)))
+        |      + 17 * (((j % ((8 + n_chars % 17) * (8 + n_chars % 13))) // (8 + n_chars % 17)) // 8)
+        |      + 29 * (((j % ((8 + n_chars % 17) * (8 + n_chars % 13))) % (8 + n_chars % 17)) // 8)) % 251
+        |     FOR j IN range(0, (1 + n_chars % 4) * (8 + n_chars % 17) * (8 + n_chars % 13))])
+        |    AS BIGINT) AS luma_total
+        |FROM documents""".stripMargin,
     // same URL synthesis + anatomy + rule order as the Spark side
     "q52_url_scope" ->
       """WITH u AS (

@@ -26,13 +26,17 @@ import graft.util.XxHash64
   * decode→feature→resize pipeline is genuinely end-to-end for all four.
   * WAV audio is likewise real end-to-end: header parse plus PCM sample
   * statistics ([[wavPcmStats]] — 16/8-bit PCM, real sample arithmetic).
-  * For the one remaining codec format (mp4) and for out-of-scope jpeg
-  * variants (progressive, CMYK), pixel *decode internals* — feature
-  * extraction, resize, and the fallback for unparseable headers — are
-  * deterministic fakes, clearly marked `Stub` below (pure functions of
-  * the bytes via xxhash). The Spark-side plumbing — column types, batch
-  * iteration, partitioning, output schemas — is real and tested; swapping
-  * a real codec into [[decodeStub]]/[[featureStub]] changes nothing else.
+  * VIDEO is real for Motion-JPEG mp4 tracks ([[Mp4Codec]]): the ISO-BMFF
+  * sample tables locate every frame and each frame is a complete baseline
+  * JPEG, so frame extraction, per-frame pixel decode and whole-video luma
+  * sums are pixel truth. For non-MJPEG mp4 codecs (avc1/hevc/...) and
+  * out-of-scope jpeg variants (progressive, CMYK), pixel *decode
+  * internals* — feature extraction, resize, and the fallback for
+  * unparseable headers — are deterministic fakes, clearly marked `Stub`
+  * below (pure functions of the bytes via xxhash). The Spark-side
+  * plumbing — column types, batch iteration, partitioning, output
+  * schemas — is real and tested; swapping a real codec into
+  * [[decodeStub]]/[[featureStub]] changes nothing else.
   */
 object Media {
 
@@ -286,9 +290,10 @@ object Media {
     * DEFLATE+filter decoder ([[PngCodec.decodeLuma]]), and baseline JPEG
     * via the from-scratch Huffman+IDCT decoder ([[JpegCodec.decodeLuma]] —
     * the Y channel, which for JFIF IS the BT.601 luma the other paths
-    * compute from RGB). None for the one remaining codec format (mp4 —
-    * real headers, marked pixel stubs) and for out-of-scope jpeg variants
-    * (progressive, CMYK). */
+    * compute from RGB). An mp4 with a Motion-JPEG track decodes its FIRST
+    * frame ([[Mp4Codec.decodeFirstFrameLuma]]). None for non-MJPEG mp4
+    * codecs (real headers, marked pixel stubs) and for out-of-scope jpeg
+    * variants (progressive, CMYK). */
   def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     parsePnm(bytes) match {
       case Some((channels, w, h, off)) =>
@@ -308,6 +313,7 @@ object Media {
           case "gif" => GifCodec.decodeFirstFrame(bytes)
           case "png" => PngCodec.decodeLuma(bytes)
           case "jpeg" => JpegCodec.decodeLuma(bytes)
+          case "mp4" => Mp4Codec.decodeFirstFrameLuma(bytes) // MJPEG tracks only
           case _ => None
         }
     }
@@ -557,14 +563,19 @@ object Media {
     Array.tabulate(target)(i => bytes(i % bytes.length))
   }
 
-  /** Frame sampling: n deterministic, evenly-spaced byte-range slices (the
-    * real version would decode frames; the slicing/batching is the point). */
+  /** Frame sampling: for an MJPEG mp4 track, n evenly-spaced REAL frames —
+    * each a complete standalone JPEG the image stages decode
+    * ([[Mp4Codec.sampleFrames]]). For everything else, n deterministic
+    * evenly-spaced byte-range slices (marked stub — the slicing/batching
+    * plumbing is the point for codecs this container can't decode). */
   def frameSample(bytes: Array[Byte], n: Int): Array[Array[Byte]] = {
     if (bytes == null || bytes.isEmpty || n <= 0) return Array.empty
-    val span = math.max(1, bytes.length / n)
-    Array.tabulate(math.min(n, bytes.length)) { i =>
-      val start = i * span
-      java.util.Arrays.copyOfRange(bytes, start, math.min(bytes.length, start + span))
+    (if (sniffFormat(bytes) == "mp4") Mp4Codec.sampleFrames(bytes, n) else None).getOrElse {
+      val span = math.max(1, bytes.length / n)
+      Array.tabulate(math.min(n, bytes.length)) { i =>
+        val start = i * span
+        java.util.Arrays.copyOfRange(bytes, start, math.min(bytes.length, start + span))
+      }
     }
   }
 
@@ -620,6 +631,23 @@ object Media {
     mapBatched(df, outSchema, batchSize) { batch =>
       batch.map(row =>
         Row.fromSeq(row.toSeq :+ lumaSum(row.getAs[Array[Byte]](blobIdx)).getOrElse(-1L)))
+    }
+  }
+
+  /** Video stage: adds `n_frames_decoded` + `luma_total` (Σ luma over
+    * every pixel of every frame) for MJPEG mp4 blobs
+    * ([[Mp4Codec.videoLumaTotal]]); (-1, -1) marks undecodable tracks —
+    * loud, never a partial sum. Batched like every sibling stage. */
+  def videoLumaTotals(df: DataFrame, blobCol: String = "blob", batchSize: Int = 64): DataFrame = {
+    val outSchema = df.schema
+      .add("n_frames_decoded", IntegerType, nullable = false)
+      .add("luma_total", LongType, nullable = false)
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    mapBatched(df, outSchema, batchSize) { batch =>
+      batch.map { row =>
+        val r = Mp4Codec.videoLumaTotal(row.getAs[Array[Byte]](blobIdx))
+        Row.fromSeq(row.toSeq :+ r.map(_._1).getOrElse(-1) :+ r.map(_._2).getOrElse(-1L))
+      }
     }
   }
 
