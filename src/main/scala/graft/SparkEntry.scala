@@ -761,6 +761,37 @@ object SparkEntry {
           col("n_frames_decoded"), col("luma_total"))
     }),
 
+    // WARC interchange: group docs into gzipped archives (the export
+    // writer), parse them back (the ingest reader), recover every field —
+    // DuckDB recomputes uri/status/octets from the synthesis arithmetic,
+    // so writer, gzip members, Content-Length framing and the HTTP
+    // envelope split are all under the cross-engine oracle
+    "q54_warc_roundtrip" -> ((s, dir) => {
+      val mkArchive = udf { (entries: Seq[org.apache.spark.sql.Row]) =>
+        val records = entries.map { e =>
+          val id = e.getLong(0)
+          val body = e.getString(1).getBytes("UTF-8")
+          val (code, reason) = if (id % 11 == 0) (404, "Not Found") else (200, "OK")
+          val http = (s"HTTP/1.1 $code $reason\r\nContent-Length: ${body.length}\r\n\r\n")
+            .getBytes("US-ASCII") ++ body
+          graft.sources.WarcIO.WarcRecord(
+            "response", s"http://w${id % 20}.example.com/doc/$id",
+            "2026-08-17T00:00:00Z", http)
+        }
+        graft.sources.WarcIO.writeGzip(records)
+      }
+      val archives = t(s, dir, "documents")
+        .select((col("doc_id") % 20).as("gid"), col("doc_id"), col("text"))
+        .groupBy("gid")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text")))).as("entries"))
+        .select(mkArchive(col("entries")).as("warc"))
+      graft.sources.WarcIO.explodeRecords(archives)
+        .select(
+          substring_index(col("uri"), "/", -1).cast("long").as("doc_id"),
+          col("uri"), col("http_status"),
+          length(col("body")).cast("long").as("body_octets"))
+    }),
+
     // crawl-scope URL rules over a synthesized URL column that exercises
     // every rule and the precedence order (scheme > host > ext > depth >
     // length) — doc_id arithmetic keeps both engines' inputs identical
@@ -1273,6 +1304,12 @@ object SparkEntry {
         |      + 29 * (((j % ((8 + n_chars % 17) * (8 + n_chars % 13))) % (8 + n_chars % 17)) // 8)) % 251
         |     FOR j IN range(0, (1 + n_chars % 4) * (8 + n_chars % 17) * (8 + n_chars % 13))])
         |    AS BIGINT) AS luma_total
+        |FROM documents""".stripMargin,
+    "q54_warc_roundtrip" ->
+      """SELECT doc_id,
+        |  'http://w' || (doc_id % 20) || '.example.com/doc/' || doc_id AS uri,
+        |  CAST(CASE WHEN doc_id % 11 = 0 THEN 404 ELSE 200 END AS INT) AS http_status,
+        |  CAST(strlen(text) AS BIGINT) AS body_octets
         |FROM documents""".stripMargin,
     // same URL synthesis + anatomy + rule order as the Spark side
     "q52_url_scope" ->
