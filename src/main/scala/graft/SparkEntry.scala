@@ -761,6 +761,27 @@ object SparkEntry {
           col("n_frames_decoded"), col("luma_total"))
     }),
 
+    // inverted-index keyword relevance: BM25-shaped scoring with exact
+    // integer idf weights (floor(1e6*N/df)) so ranks cannot flip on a
+    // 1-ulp log() disagreement between engines; see KeywordSearch
+    "q55_keyword_topk" -> ((s, dir) =>
+      graft.ml.KeywordSearch.searchTopK(
+        t(s, dir, "documents").select("doc_id", "text"),
+        Seq(("qa", "spark window scan"), ("qb", "merge sort join"), ("qc", "dup stream")),
+        k = 10)),
+
+    // per-source corpus report card: the rollup every curation run ships
+    // (doc counts, size, language mix, quality pass rate) — counts are
+    // exact ints; langid/quality run the fused kernel
+    "q56_corpus_report" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum((graft.ml.TextAnalysis.langId(col("text")) === "en").cast("long")).as("n_en"),
+          sum(graft.ml.TextAnalysis.qualityOk(col("text")).cast("long")).as("n_quality_ok"))),
+
     // WARC interchange: group docs into gzipped archives (the export
     // writer), parse them back (the ingest reader), recover every field —
     // DuckDB recomputes uri/status/octets from the synthesis arithmetic,
@@ -1305,6 +1326,48 @@ object SparkEntry {
         |     FOR j IN range(0, (1 + n_chars % 4) * (8 + n_chars % 17) * (8 + n_chars % 13))])
         |    AS BIGINT) AS luma_total
         |FROM documents""".stripMargin,
+    // exact-integer relevance: tf * ((1e6 * N) // df), DIV on both sides
+    "q55_keyword_topk" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS n FROM documents),
+        |toks AS (SELECT doc_id, unnest(string_split(n, ' ')) AS term FROM norm),
+        |posts AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |q AS (SELECT * FROM (VALUES
+        |  ('qa','spark'),('qa','window'),('qa','scan'),
+        |  ('qb','merge'),('qb','sort'),('qb','join'),
+        |  ('qc','dup'),('qc','stream')) t(query_id, term)),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |matched AS (SELECT q.query_id, p.term, p.doc_id, p.tf FROM posts p JOIN q ON p.term = q.term),
+        |dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM matched GROUP BY 1),
+        |scored AS (
+        |  SELECT m.query_id, m.doc_id,
+        |         CAST(SUM(m.tf * ((1000000 * nd.n) // d.df)) AS BIGINT) AS score
+        |  FROM matched m JOIN dfreq d ON m.term = d.term CROSS JOIN nd
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
+        |  SELECT query_id, doc_id, score,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
+    // per-source rollup; langid CTE shares the q18 oracle generator,
+    // quality gate replicates TextAnalysis.qualityOk's thresholds
+    "q56_corpus_report" -> {
+      val lang = langidSqlOver("documents", "doc_id", "doc_id", "text")
+      s"""WITH lang AS ($lang),
+         |q AS (SELECT doc_id, source, n_chars,
+         |        len(regexp_split_to_array(trim(text), ' +')) AS n_tokens,
+         |        CAST(length(text) AS DOUBLE)
+         |          / len(regexp_split_to_array(trim(text), ' +')) AS mtl,
+         |        CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+         |          / greatest(length(text), 1) AS pr
+         |      FROM documents)
+         |SELECT q.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(q.n_chars) AS BIGINT) AS sum_chars,
+         |       CAST(sum(CASE WHEN l.lang_id = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |       CAST(sum(CASE WHEN q.n_tokens >= 5 AND q.mtl >= 2.0 AND q.mtl <= 12.0
+         |                      AND q.pr <= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
+         |FROM q JOIN lang l ON q.doc_id = l.doc_id
+         |GROUP BY q.source""".stripMargin
+    },
     "q54_warc_roundtrip" ->
       """SELECT doc_id,
         |  'http://w' || (doc_id % 20) || '.example.com/doc/' || doc_id AS uri,
