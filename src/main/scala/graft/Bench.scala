@@ -55,11 +55,13 @@ object Bench {
     // entry is either a seconds number or an {"err": ...} object.
     val nPasses = math.max(1, sys.env.getOrElse("GRAFT_BENCH_QUERY_RUNS", "3").toInt)
     val passSentinels = new Array[Double](nPasses)
+    val passIoSentinels = new Array[Double](nPasses)
     val times = Array.fill(ordered.size)(new Array[Double](nPasses))
     val errs = new Array[Option[String]](ordered.size)
     var p = 0
     while (p < nPasses) {
       passSentinels(p) = graft.tools.CrawlHeadline.sentinel()
+      passIoSentinels(p) = graft.tools.CrawlHeadline.ioSentinel()
       var qi = 0
       ordered.foreach { case (_, fn) =>
         val t0 = System.nanoTime()
@@ -86,6 +88,7 @@ object Bench {
     if (failed.nonEmpty)
       System.err.println(s"BENCH QUERY FAILURES: ${failed.mkString(", ")}")
     val querySentinels = passSentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val queryIoSentinels = passIoSentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
 
     // crawl headline: steady-state tick over a pre-seeded 30k-page corpus.
     // One untimed full-pipeline pass first, same policy as the query
@@ -108,14 +111,20 @@ object Bench {
         val nRuns = math.max(1, sys.env.getOrElse("GRAFT_BENCH_CRAWL_RUNS", "5").toInt)
         val runs = (1 to nRuns).map { _ =>
           val s = graft.tools.CrawlHeadline.sentinel()
+          val io = graft.tools.CrawlHeadline.ioSentinel()
           val (f, w) = graft.tools.CrawlHeadline.runOnce(spark, pages, cpus.toInt)
-          (f, w, s)
+          (f, w, s, io)
         }
-        val byRate = runs.sortBy { case (f, w, _) => f / w }
-        val (fetched, wall, _) = byRate(byRate.size / 2)
-        val rates = runs.map { case (f, w, _) => f"${f / w}%.1f" }.mkString("[", ",", "]")
-        val sentinels = runs.map { case (_, _, s) => f"$s%.3f" }.mkString("[", ",", "]")
-        f"""{"pages_fetched":$fetched,"wall_s":$wall%.2f,"urls_per_sec":${fetched / wall}%.1f,"runs":$rates,"sentinel_s":$sentinels}"""
+        val byRate = runs.sortBy { case (f, w, _, _) => f / w }
+        val (fetched, wall, _, _) = byRate(byRate.size / 2)
+        val rates = runs.map { case (f, w, _, _) => f"${f / w}%.1f" }.mkString("[", ",", "]")
+        val sentinels = runs.map { case (_, _, s, _) => f"$s%.3f" }.mkString("[", ",", "]")
+        // the CPU sentinel is blind to disk-throttle windows (this host's
+        // virtual disk collapses ~10x for minutes at a time — measured
+        // 2026-08-17), which stall snapshot commits; the io sentinel makes
+        // that failure mode attributable inside the artifact too
+        val ioSentinels = runs.map { case (_, _, _, io) => f"$io%.3f" }.mkString("[", ",", "]")
+        f"""{"pages_fetched":$fetched,"wall_s":$wall%.2f,"urls_per_sec":${fetched / wall}%.1f,"runs":$rates,"sentinel_s":$sentinels,"io_sentinel_s":$ioSentinels}"""
       } catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
 
     val codegenFailures = graft.util.CodegenWatch.count
@@ -135,6 +144,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""query_runs":$nPasses,"query_sentinel_s":$querySentinels,""" +
+        s""""query_io_sentinel_s":$queryIoSentinels,""" +
         s""""codegen_failures":$codegenStatus$codegenDetail,"crawl":$crawlJson}"""
 
     val outPath = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_result.json")

@@ -88,4 +88,31 @@ object CrawlHeadline {
     * sandbox's idle core (2026-08-17). A run whose sentinel reads far above
     * ~0.32 s ran in a degraded window. */
   private val SentinelIters: Int = 40000000
+
+  /** Disk-ambient sentinel: a fixed 16 MB fsync'd write + delete on the
+    * same filesystem the lake commits to. The CPU sentinel is blind to
+    * I/O: this sandbox's virtual disk has windows where buffered write
+    * throughput collapses ~10x (measured 2026-08-17: 73.7 -> 8.3 MB/s
+    * within one minute), which stalls the crawl's snapshot commits while
+    * every CPU sentinel stays flat — exactly the signature of a bimodal
+    * headline with calibrated CPU ambient. Calibrated healthy reading:
+    * ~0.02-0.12 s; a reading in whole seconds marks a throttled-disk
+    * window. Returns seconds. */
+  def ioSentinel(dir: String = System.getProperty("java.io.tmpdir")): Double = {
+    val buf = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(buf, 0x5a.toByte)
+    val p = java.nio.file.Paths.get(dir, s"graft-io-sentinel-${System.nanoTime()}")
+    val t0 = System.nanoTime()
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      var i = 0
+      while (i < 16) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
+      ch.force(true)
+    } finally {
+      ch.close()
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
 }
