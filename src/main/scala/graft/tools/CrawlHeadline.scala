@@ -98,6 +98,39 @@ object CrawlHeadline {
     * headline with calibrated CPU ambient. Calibrated healthy reading:
     * ~0.02-0.12 s; a reading in whole seconds marks a throttled-disk
     * window. Returns seconds. */
+  /** Multicore memory-bandwidth sentinel: `threads` threads each stream
+    * over a private 64 MB long array 4 times; returns aggregate GB/s. The
+    * single-core CPU sentinel is blind to memory-bandwidth contention
+    * from host neighbors (one core's xxhash chain lives in registers +
+    * L1), but an 8-thread crawl tick is bandwidth-hungry — reporting the
+    * same-window aggregate bandwidth next to each scaling rep separates
+    * "the engine stopped scaling" from "the socket's bandwidth did". */
+  def memSentinel(threads: Int): Double = {
+    val wordsPer = (64 << 20) / 8
+    val reps = 4
+    val arrs = Array.fill(threads)(new Array[Long](wordsPer))
+    arrs.foreach(a => java.util.Arrays.fill(a, 0x5a5a5a5a5a5a5a5aL))
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = arrs.map { a =>
+      val t = new Thread(() => {
+        var s = 0L
+        var r = 0
+        while (r < reps) {
+          var i = 0
+          while (i < a.length) { s += a(i); i += 1 }
+          r += 1
+        }
+        sink.addAndGet(s) // defeat dead-code elimination
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    val secs = (System.nanoTime() - t0) / 1e9
+    val bytes = threads.toLong * wordsPer * 8L * reps
+    bytes / secs / 1e9
+  }
+
   def ioSentinel(dir: String = System.getProperty("java.io.tmpdir")): Double = {
     val buf = new Array[Byte](1 << 20)
     java.util.Arrays.fill(buf, 0x5a.toByte)

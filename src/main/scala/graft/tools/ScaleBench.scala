@@ -121,12 +121,19 @@ object ScaleBench {
     // a degraded host window in the artifact itself (BENCH_r05 showed 3 of
     // 7 same-config runs at ~60% throughput from host steal alone)
     val sentBefore = CrawlHeadline.sentinel()
+    // same-window aggregate memory bandwidth at the measured thread count:
+    // the single-core sentinel is blind to neighbor bandwidth contention,
+    // which is the one confound left in the 2->8 pair (lakes are on tmpfs,
+    // so the crawl's "I/O" IS memory bandwidth here)
+    val memBefore = CrawlHeadline.memSentinel(cpus)
     val r = runOnce(cpus, nPages, budget, ticks)
     val sentAfter = CrawlHeadline.sentinel()
+    val memAfter = CrawlHeadline.memSentinel(cpus)
     println(
       s"""{"bench":"scale","cpus":$cpus,"n_pages":$nPages,"ticks":$ticks,"budget":$budget,
          |"fetched":${r.fetched},"wall_s":${f"${r.wallS}%.2f"},
          |"fetched_per_sec":${f"${r.fetchPerSec}%.1f"},
-         |"sentinel_s":[${f"$sentBefore%.3f"},${f"$sentAfter%.3f"}]}""".stripMargin.replace("\n", ""))
+         |"sentinel_s":[${f"$sentBefore%.3f"},${f"$sentAfter%.3f"}],
+         |"mem_gbps":[${f"$memBefore%.1f"},${f"$memAfter%.1f"}]}""".stripMargin.replace("\n", ""))
   }
 }
