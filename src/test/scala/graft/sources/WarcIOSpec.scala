@@ -96,4 +96,32 @@ class WarcIOSpec extends AnyFunSuite {
     val marks = WarcIO.explodeRecords(corrupt).select("warc_type").as[String].collect()
     assert(marks.toSeq == Seq("corrupt"))
   }
+
+  test("full circle: a crawl's fetched pages export as WARC archives and parse back exactly") {
+    val corpus = graft.synth.PageSynth.pages(60L)
+    val pagesDf = spark.createDataFrame(corpus.map(_.page))
+    val robots = spark.createDataset(graft.synth.PageSynth.robots())(
+      org.apache.spark.sql.Encoders.product[graft.model.RobotsEntry])
+    val lake = graft.lake.CrawlLake.forCrawl(
+      java.nio.file.Files.createTempDirectory("graft-warc-crawl").toString, spark, buckets = 4)
+    val driver = new graft.crawl.CrawlDriver(spark, lake, pagesDf, robots,
+      graft.crawl.CrawlConfig(budget = 3, seenPartitions = 8, expectedPerSegment = 4096))
+    try {
+      driver.init(graft.synth.PageSynth.seeds(60L, 3))
+      driver.run(2)
+      val ok = driver.fetchLog.where($"status" === 200)
+        .select($"url", date_format($"fetch_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_date"))
+      val nFetched = ok.count()
+      assert(nFetched > 0)
+      val rows = ok.join(pagesDf.select($"url", $"html".as("body")), Seq("url"))
+      assert(rows.count() == nFetched, "every fetched url must resolve to its page body")
+      val archives = WarcIO.exportArchives(rows.repartition(2).select("url", "warc_date", "body"))
+      val back = WarcIO.explodeRecords(archives.drop("n_records"))
+      val got = back.select("uri", "body").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+      val want = rows.collect()
+        .map(r => r.getAs[String]("url") -> r.getAs[Array[Byte]]("body").toSeq).toMap
+      assert(got == want, "exported archives must round-trip the exact fetched bytes")
+    } finally { driver.close(); lake.drop() }
+  }
 }
