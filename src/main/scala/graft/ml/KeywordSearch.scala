@@ -63,9 +63,18 @@ object KeywordSearch {
     }
     val qDf = spark.createDataFrame(qTerms).toDF("query_id", "term")
 
-    val posts = postings(docs, idCol, textCol)
-    // prune the index to query terms FIRST (broadcast semi-shape), then
-    // weight by exact integer idf
+    // prune BEFORE aggregating: the query-term set is config-sized, so the
+    // term filter is a scan-side isin predicate on the exploded tokens —
+    // the (term, doc) shuffle then carries only query-relevant postings
+    // instead of the corpus's full vocabulary (an ad-hoc search must not
+    // pay the full-index build; `postings` remains for consumers that DO
+    // want the index materialized)
+    val qTermSet = qTerms.map(_._2).distinct
+    val posts = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .where(col("term").isin(qTermSet: _*))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
     val matched = posts.join(broadcast(qDf), Seq("term"))
     val df = matched.groupBy(col("term")).agg(countDistinct(col(idCol)).as("df"))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
