@@ -782,6 +782,15 @@ object SparkEntry {
           sum((graft.ml.TextAnalysis.langId(col("text")) === "en").cast("long")).as("n_en"),
           sum(graft.ml.TextAnalysis.qualityOk(col("text")).cast("long")).as("n_quality_ok"))),
 
+    // GPT-style pack-then-chunk window map: per-source prefix sums cut the
+    // concatenated corpus into exactly-full 64-token training windows;
+    // the output is the (window, doc, token-span) lineage map
+    "q57_sequence_pack" -> ((s, dir) =>
+      graft.ml.SequencePack.packWindows(
+        t(s, dir, "documents").select("source", "doc_id", "text"), budget = 64)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          col("window_idx"), col("tok_from"), col("tok_to"))),
+
     // WARC interchange: group docs into gzipped archives (the export
     // writer), parse them back (the ingest reader), recover every field —
     // DuckDB recomputes uri/status/octets from the synthesis arithmetic,
@@ -1326,6 +1335,25 @@ object SparkEntry {
         |     FOR j IN range(0, (1 + n_chars % 4) * (8 + n_chars % 17) * (8 + n_chars % 13))])
         |    AS BIGINT) AS luma_total
         |FROM documents""".stripMargin,
+    // per-pack exclusive prefix sums; // is BIGINT floor-div (= Spark DIV)
+    "q57_sequence_pack" ->
+      """WITH n AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM n),
+        |e AS (
+        |  SELECT source, doc_id, n_tokens, s,
+        |         unnest(range(s // 64, (s + n_tokens - 1) // 64 + 1)) AS window_idx
+        |  FROM p)
+        |SELECT source, doc_id, n_tokens, window_idx,
+        |       CAST(greatest(window_idx * 64 - s, 0) AS BIGINT) AS tok_from,
+        |       CAST(least((window_idx + 1) * 64 - s, n_tokens) AS BIGINT) AS tok_to
+        |FROM e""".stripMargin,
     // exact-integer relevance: tf * ((1e6 * N) // df), DIV on both sides
     "q55_keyword_topk" ->
       """WITH norm AS (
