@@ -791,6 +791,13 @@ object SparkEntry {
         .select(col("source"), col("doc_id"), col("n_tokens"),
           col("window_idx"), col("tok_from"), col("tok_to"))),
 
+    // the assembled window TEXT (q57 gives the map; this materializes the
+    // exactly-full 64-token training sequences from it)
+    "q58_pack_assembly" -> ((s, dir) =>
+      graft.ml.SequencePack.assembleWindows(
+        t(s, dir, "documents").select("source", "doc_id", "text"), budget = 64)
+        .select(col("source"), col("window_idx"), col("window_text"), col("window_tokens"))),
+
     // WARC interchange: group docs into gzipped archives (the export
     // writer), parse them back (the ingest reader), recover every field —
     // DuckDB recomputes uri/status/octets from the synthesis arithmetic,
@@ -1354,6 +1361,29 @@ object SparkEntry {
         |       CAST(greatest(window_idx * 64 - s, 0) AS BIGINT) AS tok_from,
         |       CAST(least((window_idx + 1) * 64 - s, n_tokens) AS BIGINT) AS tok_to
         |FROM e""".stripMargin,
+    "q58_pack_assembly" ->
+      """WITH n AS (
+        |  SELECT source, doc_id,
+        |         string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT source, doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |         CAST(COALESCE(sum(len(toks)) OVER (PARTITION BY source ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM n),
+        |e AS (
+        |  SELECT source, doc_id, toks, n_tokens, s,
+        |         unnest(range(s // 64, (s + n_tokens - 1) // 64 + 1)) AS window_idx
+        |  FROM p),
+        |a AS (
+        |  SELECT source, window_idx, doc_id,
+        |         greatest(window_idx * 64 - s, 0) AS f,
+        |         least((window_idx + 1) * 64 - s, n_tokens) AS t, toks
+        |  FROM e)
+        |SELECT source, window_idx,
+        |       string_agg(array_to_string(toks[f+1 : t], ' '), ' ' ORDER BY doc_id) AS window_text,
+        |       CAST(sum(t - f) AS BIGINT) AS window_tokens
+        |FROM a GROUP BY source, window_idx""".stripMargin,
     // exact-integer relevance: tf * ((1e6 * N) // df), DIV on both sides
     "q55_keyword_topk" ->
       """WITH norm AS (

@@ -62,4 +62,34 @@ object SequencePack {
       .withColumn("tok_to", least((col("window_idx") + 1) * B - col("_start"), col("n_tokens")))
       .drop("_start", "_firstWin", "_lastWin")
   }
+
+  /** Materialize the actual window text from the [[packWindows]] map: each
+    * window's token sequence is its docs' spans concatenated in pack
+    * order. Output: (packCol, window_idx, window_text, window_tokens).
+    *
+    * Shape: the map's explode output re-slices each doc's token array
+    * scan-side (`slice` on the split — tokens are computed once per doc
+    * row), then ONE shuffle groups the 1-2 pieces per (pack, window);
+    * ordering inside a window is by doc id (total: a doc contributes at
+    * most one piece per window). */
+  def assembleWindows(
+      docs: DataFrame,
+      budget: Int,
+      packCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val mapped = packWindows(docs.withColumn("_toks",
+        split(TextDedup.normText(col(textCol)), " ", -1)), budget, packCol, idCol, textCol)
+    mapped
+      .withColumn("_piece",
+        array_join(slice(col("_toks"), col("tok_from") + 1, col("tok_to") - col("tok_from")), " "))
+      .groupBy(col(packCol), col("window_idx"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol).as("id"), col("_piece").as("p")))),
+            x => x.getField("p")),
+          " ").as("window_text"),
+        sum(col("tok_to") - col("tok_from")).as("window_tokens"))
+  }
 }

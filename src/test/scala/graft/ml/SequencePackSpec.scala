@@ -98,4 +98,23 @@ class SequencePackSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SequencePack.packWindows(corpus.toDF("source", "doc_id", "text"), 0))
   }
+
+  test("assembly: window texts concatenated in order reproduce each pack's corpus exactly") {
+    for (b <- Seq(4, 9, 64)) {
+      val wins = SequencePack.assembleWindows(corpus.toDF("source", "doc_id", "text"), b)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      // every non-final window is exactly full (by token count of its text too)
+      val lastWin = wins.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      wins.foreach { case (src, w, text, nt) =>
+        assert(text.split(" ", -1).length.toLong == nt, s"($src,$w) text/count mismatch")
+        if (w != lastWin(src)) assert(nt == b, s"($src,$w) underfull")
+      }
+      // concat property: windows in order == norm docs in id order
+      val rebuilt = wins.groupBy(_._1).view
+        .mapValues(_.sortBy(_._2).map(_._3).mkString(" ")).toMap
+      val want = corpus.groupBy(_._1).view.mapValues(_.sortBy(_._2)
+        .map(d => d._3.trim.toLowerCase.replaceAll("\\s+", " ")).mkString(" ")).toMap
+      assert(rebuilt == want, s"budget $b")
+    }
+  }
 }
