@@ -57,47 +57,65 @@ object DedupClusters {
       idACol: String = "id_a",
       idBCol: String = "id_b",
       maxIter: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges
       .select(col(idACol).cast("long").as("a"), col(idBCol).cast("long").as("b"))
       .where(col("a") =!= col("b"))
-    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+    // symmetric closure PLUS self-loops: min over neighbors∪{v} computes
+    // prop(v) in ONE join + aggregate — the previous shape needed a second
+    // left join back onto labels to mix the own label in (round 7: two
+    // fewer exchanges per round)
+    val symSelf = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint(true)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val nbrMin = sym
-        .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("comp")).as("nbr_comp"))
-      val prop = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-      // pointer jump: comp := comp(comp). Every comp value is a vertex id
-      // (labels start as ids and only ever take other labels' values), so
-      // the left join hits unless comp is already a root — coalesce keeps
-      // roots fixed.
-      val jumped = prop
-        .join(prop.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
-        .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
-      val next = jumped.localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .where(col("comp") =!= col("prev"))
-        .limit(1)
-        .count()
-      labels = next
-      converged = changed == 0L
-      iter += 1
+      .unionByName(
+        e.select(col("a").as("v")).unionByName(e.select(col("b").as("v"))).distinct()
+          .select(col("v").as("src"), col("v").as("dst")))
+    // materialize the edge list once, COUNT it (cache-side, one cheap job),
+    // and size every loop shuffle to that count (AdaptiveShuffle): the
+    // per-round chains are (long, long) shuffles whose data is often KBs —
+    // scheduling the session's corpus-sized partition count for them was
+    // >50% of the operator's wall time at sf0.1 (guide §2: derive the
+    // partitioning from the input, don't re-use a constant)
+    val sym = symSelf.persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = sym.count()
+    graft.util.AdaptiveShuffle.withPartitionsForRows(spark, nEdges) {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
+        .localCheckpoint(true)
+      // labels only ever DECREASE (min-propagation), so Σcomp is strictly
+      // monotone until the fixed point: the convergence probe is one
+      // decimal sum over the freshly checkpointed table (scan + driver
+      // combine — no join, no shuffle; the previous probe joined old and
+      // new labels every round)
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("comp").cast("decimal(38,0)")).as("s"))
+          .head().getDecimal(0)
+      var prevSum = labelSum(labels)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val prop = sym
+          .join(labels.select(col("id").as("src"), col("comp")), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("comp")).as("comp"))
+        // pointer jump: comp := comp(comp). Every comp value is a vertex id
+        // (labels start as ids and only ever take other labels' values), so
+        // the left join hits unless comp is already a root — coalesce keeps
+        // roots fixed.
+        val jumped = prop
+          .join(prop.select(col("id").as("comp"), col("comp").as("comp2")), Seq("comp"), "left")
+          .select(col("id"), coalesce(col("comp2"), col("comp")).as("comp"))
+        val next = jumped.localCheckpoint(true)
+        val nextSum = labelSum(next)
+        labels = next
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        iter += 1
+      }
+      sym.unpersist()
+      labels
     }
-    sym.unpersist()
-    labels
   }
 
   /** Corpus-facing component assignment: every doc gets a `comp` column —

@@ -27,14 +27,39 @@ import org.apache.spark.sql.functions._
   * Every window of a pack except its last holds exactly B tokens; doc
   * spans tile each document exactly once.
   *
-  * 100 TB shape: one prefix-sum window per pack key (the only shuffle —
-  * hash-partitioned by pack key, sorted within; packs are independent so
-  * there is NO global sort bottleneck), then a scan-side explode of each
-  * doc into its (usually 1–2) overlapping windows. Skewed pack keys are
-  * the operator's one hazard — pick a pack key with bounded cardinality
-  * per partition (source, shard, date), or pre-salt a megapack upstream.
+  * 100 TB shape (round 7): the exclusive prefix sum is a TWO-PHASE
+  * distributed scan, not one window per pack key. A naive
+  * `Window.partitionBy(packCol)` puts an ENTIRE pack on one partition —
+  * with a handful of sources (the realistic Common-Crawl shape) one task
+  * would receive tens of TB. Instead, docs are bucketed into contiguous
+  * id-range groups (`_grp = idCol DIV groupSize` — any monotone function
+  * of the id keeps groups contiguous in pack order, and DIV bounds every
+  * group at `groupSize` ids with zero extra shuffles or sampling):
+  *
+  *   1. doc-local inclusive prefix: one window per (pack, _grp) —
+  *      bounded at `groupSize` rows per window partition regardless of
+  *      skew;
+  *   2. group totals: the group's max inclusive prefix (n_tokens ≥ 1 ⇒
+  *      the prefix is strictly increasing, so max = the group sum) —
+  *      aggregated on the SAME (pack, _grp) partitioning, so the corpus
+  *      scan + tokenize + shuffle execute ONCE (exchange reuse) and the
+  *      totals table is `groupSize`× smaller than the corpus;
+  *   3. group offsets: exclusive prefix over the TINY totals table, one
+  *      window per pack (rows = docs/groupSize — KBs where the doc window
+  *      would be TBs), broadcast-joined back; start = group offset +
+  *      local prefix − n_tokens, bit-identical to the single-window form
+  *      (q57/q58 oracles unchanged).
+  *
+  * The full-width shuffle is keyed (pack, _grp) so no reducer ever holds
+  * more than `groupSize` docs. Then a scan-side explode maps each doc
+  * into its (usually 1–2) overlapping windows.
   */
 object SequencePack {
+
+  /** Docs per contiguous id-range group: bounds the per-reducer sort in
+    * [[packWindows]]; at 10^10 docs the offsets table is ~300k rows. The
+    * value never affects results — only the shuffle shape. */
+  val DefaultGroupSize = 32768L
 
   /** Map each doc to its training windows. Output: all of `docs`' columns
     * except `textCol`, plus `n_tokens`, `window_idx` (0-based within the
@@ -45,22 +70,48 @@ object SequencePack {
       budget: Int,
       packCol: String = "source",
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      groupSize: Long = DefaultGroupSize): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(groupSize >= 1, s"groupSize must be >= 1, got $groupSize")
     val n: Column = size(split(TextDedup.normText(col(textCol)), " ", -1)).cast("long")
-    val w = Window.partitionBy(col(packCol)).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // contiguous id-range bucket: integral DIV is monotone nondecreasing in
+    // the id, so group boundaries never split the pack order; null ids (the
+    // window form ordered them first) land in the first group
+    val grp: Column =
+      coalesce(expr(s"CAST(`$idCol` AS BIGINT) DIV ${groupSize}L"), lit(Long.MinValue))
     val passthrough = docs.columns.filter(_ != textCol).map(col).toSeq
     val B = lit(budget.toLong)
-    docs
-      .select((passthrough :+ n.as("n_tokens")): _*)
-      .withColumn("_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+
+    // phase 1: doc-local INCLUSIVE prefix within the bounded (pack, group)
+    // window
+    val wLocal = Window.partitionBy(col(packCol), col("_grp")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = docs
+      .select((passthrough :+ n.as("n_tokens") :+ grp.as("_grp")): _*)
+      .withColumn("_cum", sum(col("n_tokens")).over(wLocal))
+
+    // phase 2+3: group totals off the SAME exchange (the groupBy keys match
+    // the window partitioning, so this branch re-reads the reused shuffle,
+    // not the corpus; max of the strictly-increasing inclusive prefix = the
+    // group sum), then the tiny per-pack exclusive offset window.
+    val wOff = Window.partitionBy(col(packCol)).orderBy(col("_grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = local
+      .groupBy(col(packCol), col("_grp"))
+      .agg(max(col("_cum")).as("_g"))
+      .withColumn("_grp_offset", sum(col("_g")).over(wOff) - col("_g"))
+      .select(col(packCol), col("_grp"), col("_grp_offset"))
+
+    local
+      .join(broadcast(offsets), Seq(packCol, "_grp"))
+      .withColumn("_start", col("_grp_offset") + col("_cum") - col("n_tokens"))
       .withColumn("_firstWin", expr("CAST(_start DIV " + budget + " AS BIGINT)"))
       .withColumn("_lastWin", expr(s"CAST((_start + n_tokens - 1) DIV $budget AS BIGINT)"))
       .withColumn("window_idx", explode(sequence(col("_firstWin"), col("_lastWin"))))
       .withColumn("tok_from", greatest(col("window_idx") * B - col("_start"), lit(0L)))
       .withColumn("tok_to", least((col("window_idx") + 1) * B - col("_start"), col("n_tokens")))
-      .drop("_start", "_firstWin", "_lastWin")
+      .drop("_grp", "_cum", "_grp_offset", "_start", "_firstWin", "_lastWin")
   }
 
   /** Materialize the actual window text from the [[packWindows]] map: each

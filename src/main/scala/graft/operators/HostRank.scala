@@ -60,46 +60,56 @@ object HostRank {
       dampDen: Long = 100L,
       checkpointEvery: Int = 4): DataFrame = {
     require(iters >= 0 && dampDen > 0 && dampNum >= 0 && dampNum <= dampDen)
+    val spark = edges.sparkSession
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hosts = e.select(col("src").as("host"))
-      .unionByName(e.select(col("dst").as("host")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val base = (scale * (dampDen - dampNum)) / dampDen
+    // materialize + count the edge list once (cache-side, cheap), then size
+    // every shuffle of the iteration chain to that count
+    // (AdaptiveShuffle): the chain is (long, long) joins/aggregates whose
+    // per-stage data is tiny relative to the session's corpus-sized shuffle
+    // partitioning — measured >50% of q43's wall time was near-empty-task
+    // scheduling at sf0.1 (guide §2: derive partitioning from input size)
+    val nEdges = e.count()
+    graft.util.AdaptiveShuffle.withPartitionsForRows(spark, nEdges) {
+      val hosts = e.select(col("src").as("host"))
+        .unionByName(e.select(col("dst").as("host")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val base = (scale * (dampDen - dampNum)) / dampDen
 
-    var ranks = hosts.select(col("host"), lit(scale).as("rank"))
-    var i = 0
-    while (i < iters) {
-      val contrib = e
-        .join(outdeg, Seq("src"))
-        .join(ranks.select(col("host").as("src"), col("rank")), Seq("src"))
-        .select(col("dst").as("host"), expr("rank div outdeg").as("c"))
-        .groupBy("host")
-        .agg(sum(col("c")).as("inflow"))
-      ranks = hosts
-        .join(contrib, Seq("host"), "left")
-        .select(col("host"),
-          (lit(base) + expr(s"(${dampNum}L * coalesce(inflow, 0L)) div ${dampDen}L"))
-            .as("rank"))
-      i += 1
-      // no per-round action here (unlike DedupClusters' convergence probe),
-      // so intermediate materialization is pure overhead for small iters;
-      // checkpoint only every few rounds to bound plan depth/codegen size
-      // on long runs while letting short runs execute as ONE fused job
-      if (i % math.max(1, checkpointEvery) == 0 && i < iters)
-        ranks = ranks.localCheckpoint(true)
+      var ranks = hosts.select(col("host"), lit(scale).as("rank"))
+      var i = 0
+      while (i < iters) {
+        val contrib = e
+          .join(outdeg, Seq("src"))
+          .join(ranks.select(col("host").as("src"), col("rank")), Seq("src"))
+          .select(col("dst").as("host"), expr("rank div outdeg").as("c"))
+          .groupBy("host")
+          .agg(sum(col("c")).as("inflow"))
+        ranks = hosts
+          .join(contrib, Seq("host"), "left")
+          .select(col("host"),
+            (lit(base) + expr(s"(${dampNum}L * coalesce(inflow, 0L)) div ${dampDen}L"))
+              .as("rank"))
+        i += 1
+        // no per-round action here (unlike DedupClusters' convergence probe),
+        // so intermediate materialization is pure overhead for small iters;
+        // checkpoint only every few rounds to bound plan depth/codegen size
+        // on long runs while letting short runs execute as ONE fused job
+        if (i % math.max(1, checkpointEvery) == 0 && i < iters)
+          ranks = ranks.localCheckpoint(true)
+      }
+      // materialize ONCE (the whole remaining chain fuses into this job)
+      // before releasing the cached edge/degree tables it references
+      val out = ranks.localCheckpoint(true)
+      e.unpersist(); hosts.unpersist(); outdeg.unpersist()
+      out
     }
-    // materialize ONCE (the whole remaining chain fuses into this job)
-    // before releasing the cached edge/degree tables it references
-    val out = ranks.localCheckpoint(true)
-    e.unpersist(); hosts.unpersist(); outdeg.unpersist()
-    out
   }
 
   /** Attach a rank-derived priority to a frontier frame on its host hash:

@@ -48,35 +48,54 @@ object WarcIO {
 
   private val CRLF = "\r\n".getBytes("US-ASCII")
 
+  /** Header-value framing safety (round-7 advisor): a value containing a
+    * control character (CR/LF above all) would corrupt the CRLF framing of
+    * the whole archive — parse then returns None and the archive is lost.
+    * Printable ASCII passes through unchanged; anything else is
+    * percent-encoded byte-wise (UTF-8). One-way by design: this guards
+    * framing, it is not an escaping scheme readers must reverse. */
+  private def headerSafe(v: String): String =
+    if (v.forall(c => c >= 0x20 && c <= 0x7e)) v
+    else v.getBytes("UTF-8").map { b =>
+      if (b >= 0x20 && b <= 0x7e) b.toChar.toString else f"%%${b & 0xff}%02X"
+    }.mkString
+
   /** Serialize records (WARC/1.0, minimal mandatory headers). */
   def write(records: Seq[WarcRecord]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    records.foreach { r =>
-      val head = new StringBuilder()
-        .append("WARC/1.0\r\n")
-        .append("WARC-Type: ").append(r.warcType).append("\r\n")
-        .append("WARC-Record-ID: <urn:graft:").append(r.targetUri).append(">\r\n")
-        .append("WARC-Date: ").append(r.date).append("\r\n")
-      if (r.targetUri.nonEmpty)
-        head.append("WARC-Target-URI: ").append(r.targetUri).append("\r\n")
-      head.append("Content-Length: ").append(r.payload.length).append("\r\n\r\n")
-      out.write(head.toString.getBytes("US-ASCII"))
-      out.write(r.payload)
-      out.write(CRLF); out.write(CRLF)
-    }
+    records.foreach { r => writeRecord(out, r) }
     out.toByteArray
   }
 
+  private def writeRecord(out: java.io.OutputStream, r: WarcRecord): Unit = {
+    val uri = headerSafe(r.targetUri)
+    val head = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append("WARC-Type: ").append(headerSafe(r.warcType)).append("\r\n")
+      .append("WARC-Record-ID: <urn:graft:").append(uri).append(">\r\n")
+      .append("WARC-Date: ").append(headerSafe(r.date)).append("\r\n")
+    if (uri.nonEmpty)
+      head.append("WARC-Target-URI: ").append(uri).append("\r\n")
+    head.append("Content-Length: ").append(r.payload.length).append("\r\n\r\n")
+    out.write(head.toString.getBytes("US-ASCII"))
+    out.write(r.payload)
+    out.write(CRLF); out.write(CRLF)
+  }
+
   /** Gzip a serialized archive with one member per record (the seekable
-    * layout real crawlers write). */
+    * layout real crawlers write). Each member's stream is close()d so its
+    * Deflater's native buffer is released deterministically, not at GC
+    * (round-7 advisor; ByteArrayOutputStream.close() is a no-op, so the
+    * shared sink survives). */
   def writeGzip(records: Seq[WarcRecord]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    records.foreach { r =>
-      val gz = new java.util.zip.GZIPOutputStream(out)
-      gz.write(write(Seq(r)))
-      gz.finish()
-    }
+    records.foreach { r => gzipRecord(out, r) }
     out.toByteArray
+  }
+
+  private def gzipRecord(out: java.io.ByteArrayOutputStream, r: WarcRecord): Unit = {
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    try { writeRecord(gz, r); gz.finish() } finally gz.close()
   }
 
   /** Parse a (plain) archive. None on any framing violation. */
@@ -204,7 +223,12 @@ object WarcIO {
 
   /** Export stage: (url, date string, body binary) rows → ONE gzipped
     * archive blob per partition (member-per-record, the seekable layout).
-    * Repartition upstream to size archives. */
+    * Repartition upstream to size archives. Rows stream one at a time into
+    * the gzip sink (round-7 advisor: the previous form materialized the
+    * whole partition as a Seq plus the uncompressed archive plus its gzip
+    * copy — three partition-sized buffers at once); the remaining bound is
+    * the single gzipped archive blob itself, which the row output format
+    * requires in memory — size archives via the upstream repartition. */
   def exportArchives(
       df: DataFrame,
       urlCol: String = "url", dateCol: String = "warc_date", bodyCol: String = "body"): DataFrame = {
@@ -215,14 +239,17 @@ object WarcIO {
       (df.schema.fieldIndex(urlCol), df.schema.fieldIndex(dateCol), df.schema.fieldIndex(bodyCol))
     val enc = ExpressionEncoder(outSchema)
     df.mapPartitions { it =>
-      val records = it.map { row =>
+      val out = new java.io.ByteArrayOutputStream()
+      var n = 0
+      it.foreach { row =>
         val body = row.getAs[Array[Byte]](bi)
         val http = ("HTTP/1.1 200 OK\r\nContent-Length: " + body.length + "\r\n\r\n")
           .getBytes("US-ASCII") ++ body
-        WarcRecord("response", row.getString(ui), row.getString(di), http)
-      }.toSeq
-      if (records.isEmpty) Iterator.empty
-      else Iterator(Row(records.length, writeGzip(records)))
+        gzipRecord(out, WarcRecord("response", row.getString(ui), row.getString(di), http))
+        n += 1
+      }
+      if (n == 0) Iterator.empty
+      else Iterator(Row(n, out.toByteArray))
     }(enc)
   }
 }

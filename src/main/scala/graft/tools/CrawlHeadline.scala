@@ -89,15 +89,6 @@ object CrawlHeadline {
     * ~0.32 s ran in a degraded window. */
   private val SentinelIters: Int = 40000000
 
-  /** Disk-ambient sentinel: a fixed 16 MB fsync'd write + delete on the
-    * same filesystem the lake commits to. The CPU sentinel is blind to
-    * I/O: this sandbox's virtual disk has windows where buffered write
-    * throughput collapses ~10x (measured 2026-08-17: 73.7 -> 8.3 MB/s
-    * within one minute), which stalls the crawl's snapshot commits while
-    * every CPU sentinel stays flat — exactly the signature of a bimodal
-    * headline with calibrated CPU ambient. Calibrated healthy reading:
-    * ~0.02-0.12 s; a reading in whole seconds marks a throttled-disk
-    * window. Returns seconds. */
   /** Multicore memory-bandwidth sentinel: `threads` threads each stream
     * over a private 64 MB long array 4 times; returns aggregate GB/s. The
     * single-core CPU sentinel is blind to memory-bandwidth contention
@@ -131,6 +122,15 @@ object CrawlHeadline {
     bytes / secs / 1e9
   }
 
+  /** Disk-ambient sentinel: a fixed 16 MB fsync'd write + delete on the
+    * same filesystem the lake commits to. The CPU sentinel is blind to
+    * I/O: this sandbox's virtual disk has windows where buffered write
+    * throughput collapses ~10x (measured 2026-08-17: 73.7 -> 8.3 MB/s
+    * within one minute), which stalls the crawl's snapshot commits while
+    * every CPU sentinel stays flat — exactly the signature of a bimodal
+    * headline with calibrated CPU ambient. Calibrated healthy reading:
+    * ~0.02-0.12 s; a reading in whole seconds marks a throttled-disk
+    * window. Returns seconds. */
   def ioSentinel(dir: String = System.getProperty("java.io.tmpdir")): Double = {
     val buf = new Array[Byte](1 << 20)
     java.util.Arrays.fill(buf, 0x5a.toByte)

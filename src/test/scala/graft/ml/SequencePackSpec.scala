@@ -88,10 +88,32 @@ class SequencePackSpec extends AnyFunSuite {
     assert(base == grown)
   }
 
-  test("single shuffle: one exchange on the pack key, explode is scan-side") {
+  test("megapack-safe: doc rows shuffle on (pack, id-range group), never pack alone") {
     val plan = SequencePack.packWindows(corpus.toDF("source", "doc_id", "text"), 8)
       .queryExecution.executedPlan.toString
-    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    // both doc-row exchanges (prefix window + reused totals branch) are
+    // keyed (source, _grp): a one-pack corpus spreads over id-range groups
+    // instead of landing on ONE reducer (the round-6 scale-killer)
+    assert("hashpartitioning\\(source#\\d+, _grp#".r.findAllIn(plan).size == 2, plan)
+    // exactly one pack-alone exchange remains — the TINY per-group offsets
+    // table (docs/groupSize rows), not doc rows
+    assert("hashpartitioning\\(source#\\d+, \\d+\\)".r.findAllIn(plan).size == 1, plan)
+    // the offsets attach back onto doc rows is a broadcast, not a shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("two-phase prefix: groupSize never changes results, incl. a one-pack megapack") {
+    val onePack = corpus.map { case (_, id, t) => ("mega", id, t) }
+    val want = naive(onePack, 8)
+    for (g <- Seq(1L, 2L, 7L, SequencePack.DefaultGroupSize)) {
+      val got = SequencePack.packWindows(
+        onePack.toDF("source", "doc_id", "text"), 8, groupSize = g)
+        .select("source", "doc_id", "n_tokens", "window_idx", "tok_from", "tok_to")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSet
+      assert(got == want, s"groupSize $g")
+    }
   }
 
   test("budget guard") {
