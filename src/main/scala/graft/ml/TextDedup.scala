@@ -16,9 +16,13 @@ import TextHashFunctions._
   */
 object TextDedup {
 
-  /** Whitespace-normalized lowercase form used as the exact-dup identity. */
-  def normText(c: Column): Column =
-    regexp_replace(lower(trim(c)), "\\s+", " ")
+  /** Whitespace-normalized lowercase form used as the exact-dup identity:
+    * `regexp_replace(lower(trim(c)), "\\s+", " ")`, computed by the
+    * codegen'd single-pass kernel ([[TextEnrichFunctions.norm_text]] —
+    * bit-parity with the regex form is the kernel's spec'd contract; the
+    * java.util.regex pass was the hottest expression in the round-7 bench
+    * profile). */
+  def normText(c: Column): Column = TextEnrichFunctions.norm_text(c)
 
   /** Exact dedup groups: one survivor (min id) per distinct normalized
     * text, with the group size. Scale: one hash shuffle on a 32-char key. */

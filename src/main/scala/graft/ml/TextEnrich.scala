@@ -284,7 +284,27 @@ case class AnalyzeText(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `norm_text(text)` → the engine-wide whitespace/case normal form —
+  * [[TextEnrich.normText]] as a codegen'd expression. Exactly
+  * `regexp_replace(lower(trim(text)), "\\s+", " ")` (the parity the kernel
+  * was built for, spec-asserted), minus the java.util.regex pass: measured
+  * at sf0.1 the regex was the single hottest expression in the bench (it
+  * sits under every md5 fingerprint, token split, pack, keyword and chunk
+  * query). */
+case class NormText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "norm_text"
+  override protected def nullSafeEval(t: Any): Any =
+    UTF8String.fromString(TextEnrich.normText(t.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.ml.TextEnrich.normText($t.toString()))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextEnrichFunctions {
   def enrich_doc(text: Column): Column = EU.column(EnrichDoc(EU.expression(text)))
   def analyze_text(text: Column): Column = EU.column(AnalyzeText(EU.expression(text)))
+  def norm_text(text: Column): Column = EU.column(NormText(EU.expression(text)))
 }

@@ -40,16 +40,42 @@ object TextHashKernels {
     shingleHashesFromTokens(tokens(text), w)
 
   /** Shingle hashes over an already-tokenized stream — lets a fused caller
-    * (e.g. [[EnrichDoc]]) tokenize once for minhash AND simhash. */
+    * (e.g. [[EnrichDoc]]) tokenize once for minhash AND simhash.
+    *
+    * Values are xxh64 of the space-joined shingle's UTF-8 bytes, computed
+    * from per-token byte arrays assembled in one reusable buffer (UTF-8
+    * concatenates byte-exactly, so this is bit-identical to hashing the
+    * joined String) — the previous slice+mkString+getBytes PER SHINGLE was
+    * the hot allocation site of every minhash pass (round 7). */
   def shingleHashesFromTokens(ts: Array[String], w: Int): Array[Long] = {
     if (ts.length < w) {
       if (ts.isEmpty) Array.empty
       else Array(XxHash64.hashUtf8(ts.mkString(" ")))
     } else {
+      val tb = new Array[Array[Byte]](ts.length)
+      var t = 0
+      while (t < ts.length) {
+        tb(t) = ts(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        t += 1
+      }
       val out = new Array[Long](ts.length - w + 1)
+      var buf = new Array[Byte](256)
       var i = 0
       while (i + w <= ts.length) {
-        out(i) = XxHash64.hashUtf8(ts.slice(i, i + w).mkString(" "))
+        var need = w - 1
+        var j = 0
+        while (j < w) { need += tb(i + j).length; j += 1 }
+        if (buf.length < need) buf = new Array[Byte](math.max(need, buf.length * 2))
+        var pos = 0
+        j = 0
+        while (j < w) {
+          if (j > 0) { buf(pos) = ' '; pos += 1 }
+          val b = tb(i + j)
+          System.arraycopy(b, 0, buf, pos, b.length)
+          pos += b.length
+          j += 1
+        }
+        out(i) = XxHash64.hash(buf, 0, pos, XxHash64.DefaultSeed)
         i += 1
       }
       out

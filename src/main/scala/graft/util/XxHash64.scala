@@ -21,16 +21,21 @@ object XxHash64 {
 
   def hashUtf8(s: String): Long = hash(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), DefaultSeed)
 
-  def hash(bytes: Array[Byte], seed: Long): Long = {
-    val len = bytes.length
+  def hash(bytes: Array[Byte], seed: Long): Long = hash(bytes, 0, bytes.length, seed)
+
+  /** Hash of `bytes[off, off+len)` — same algorithm over a slice, so hot
+    * loops (shingle hashing) can reuse one buffer instead of allocating a
+    * sliced copy per call. */
+  def hash(bytes: Array[Byte], off: Int, len: Int, seed: Long): Long = {
+    val end = off + len
     var h: Long = 0L
-    var i = 0
+    var i = off
     if (len >= 32) {
       var v1 = seed + Prime1 + Prime2
       var v2 = seed + Prime2
       var v3 = seed
       var v4 = seed - Prime1
-      while (i + 32 <= len) {
+      while (i + 32 <= end) {
         v1 = round(v1, readLong(bytes, i))
         v2 = round(v2, readLong(bytes, i + 8))
         v3 = round(v3, readLong(bytes, i + 16))
@@ -47,17 +52,17 @@ object XxHash64 {
       h = seed + Prime5
     }
     h += len
-    while (i + 8 <= len) {
+    while (i + 8 <= end) {
       h ^= round(0L, readLong(bytes, i))
       h = java.lang.Long.rotateLeft(h, 27) * Prime1 + Prime4
       i += 8
     }
-    if (i + 4 <= len) {
+    if (i + 4 <= end) {
       h ^= (readInt(bytes, i) & 0xffffffffL) * Prime1
       h = java.lang.Long.rotateLeft(h, 23) * Prime2 + Prime3
       i += 4
     }
-    while (i < len) {
+    while (i < end) {
       h ^= (bytes(i) & 0xffL) * Prime5
       h = java.lang.Long.rotateLeft(h, 11) * Prime1
       i += 1

@@ -103,6 +103,16 @@ class TextEnrichSpec extends AnyFunSuite {
     }
   }
 
+  test("norm_text kernel == regexp_replace(lower(trim(text)), \\s+, ' '), bit for bit") {
+    val df = cases.toDF("text")
+    val got = df.select(TextEnrichFunctions.norm_text(col("text"))).collect().map(_.getString(0))
+    val want = df.select(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      .collect().map(_.getString(0))
+    got.zip(want).zip(cases).foreach { case ((g, w), t) =>
+      assert(g == w, s"norm_text mismatch on: ${t.take(60)}")
+    }
+  }
+
   test("langId null-in behavior matches the declarative form ('und', not null)") {
     val df = Seq(Some("le la de et"), None).toDF("text")
     val fused = df.select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
