@@ -31,12 +31,11 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = VecFunctions.vec_cosine(a, b)
 
   /** Integer-quantized dot product (×1000, HALF_UP) — exactly reproducible
-    * across engines, used by the DuckDB oracle. */
-  def quantizedDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * 1000).cast("long") * round(y.cast("double") * 1000).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    * across engines, used by the DuckDB oracle. Codegen'd kernel (round 7):
+    * the zip_with/aggregate HOF form ran interpreted per element; the
+    * kernel keeps Spark's exact Round-then-cast semantics per element
+    * ([[VecKernels.qdot1000]], HOF-parity spec'd). */
+  def quantizedDot(a: Column, b: Column): Column = VecFunctions.vec_qdot1000(a, b)
 
   /** Exact top-k cosine neighbors for every query row.
     * @param corpus  (idCol, vecCol) big side

@@ -42,6 +42,45 @@ object VecKernels {
     java.lang.Double.valueOf(s)
   }
 
+  private val LongMaxBD = java.math.BigDecimal.valueOf(Long.MaxValue)
+  private val LongMinBD = java.math.BigDecimal.valueOf(Long.MinValue)
+
+  /** `CAST(round(v) AS BIGINT)` with Spark's exact double semantics:
+    * Round(double) goes through BigDecimal.valueOf (the SHORTEST decimal
+    * string — NOT floor(v+0.5): 11.4999999999999996 prints as "11.5" and
+    * HALF_UP gives 12) with NaN→0 and ±∞/overflow clamped like the
+    * non-ANSI double→long cast. */
+  private def roundToLong(v: Double): Long =
+    if (java.lang.Double.isNaN(v)) 0L
+    else if (java.lang.Double.isInfinite(v)) { if (v > 0) Long.MaxValue else Long.MinValue }
+    else {
+      val bd = java.math.BigDecimal.valueOf(v).setScale(0, java.math.RoundingMode.HALF_UP)
+      if (bd.compareTo(LongMaxBD) > 0) Long.MaxValue
+      else if (bd.compareTo(LongMinBD) < 0) Long.MinValue
+      else bd.longValue()
+    }
+
+  /** Σ round(a(i)·1000)·round(b(i)·1000) as int64 — the integer-quantized
+    * dot product (q24's oracle arithmetic), with the same per-element
+    * rounding the `zip_with`+`aggregate` HOF form produced and the same
+    * null contract as [[dot]] (ragged or null element → null). The HOF
+    * form was CodegenFallback — interpreted lambda dispatch per element
+    * plus a materialized intermediate array per row (round 7). */
+  def qdot1000(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += roundToLong(x * 1000.0) * roundToLong(y * 1000.0)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
   /** dot(a,b) / (√dot(a,a) · √dot(b,b)) — one pass over both arrays;
     * 0-norm inputs yield NaN exactly like the composed-HOF form did; null
     * for ragged/null-element inputs (same contract as [[dot]]). */
@@ -109,9 +148,28 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinary {
     copy(left = l, right = r)
 }
 
+/** `vec_qdot1000(a, b)` → bigint integer-quantized dot product. */
+case class VecQDot1000(left: Expression, right: Expression) extends VecBinary {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_qdot1000"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.qdot1000(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elemIsFloat(left), elemIsFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long ${ev.value}_r =
+        graft.ml.VecKernels.qdot1000($a, $b, ${elemIsFloat(left)}, ${elemIsFloat(right)});
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VecFunctions {
   def vec_dot(a: Column, b: Column): Column =
     EU.column(VecDot(EU.expression(a), EU.expression(b)))
   def vec_cosine(a: Column, b: Column): Column =
     EU.column(VecCosine(EU.expression(a), EU.expression(b)))
+  def vec_qdot1000(a: Column, b: Column): Column =
+    EU.column(VecQDot1000(EU.expression(a), EU.expression(b)))
 }

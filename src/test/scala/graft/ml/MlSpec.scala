@@ -278,6 +278,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(2).getDouble(0) == 11.0 && rows(2).getDouble(1) == 11.0 && !rows(2).isNullAt(2))
   }
 
+  test("vec_qdot1000 kernel: bit-identical to the round/cast HOF form, incl. edge values") {
+    import org.apache.spark.sql.functions._
+    def hofQ(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(
+        zip_with(a, b, (x, y) =>
+          round(x.cast("double") * 1000).cast("long") * round(y.cast("double") * 1000).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    // corpus floats through the real query shape
+    val pairs = emb.limit(16).select($"embedding")
+      .crossJoin(emb.limit(16).select($"embedding".as("other")))
+    pairs.select(
+      Similarity.quantizedDot($"embedding", $"other").as("k"),
+      hofQ($"embedding", $"other").as("h")).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1), "qdot mismatch"))
+    // half-way ties (HALF_UP vs floor(v+0.5) differ at negative halves),
+    // shortest-decimal rounding, nulls, ragged
+    val edge = Seq(
+      (Seq[java.lang.Double](0.0005, -0.0005, 0.0115, -1.5e-3), Seq[java.lang.Double](1.0, 1.0, 1.0, 1.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 1.0)),
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0))
+    ).toDF("a", "b")
+    val rows = edge.select(
+      Similarity.quantizedDot($"a", $"b").as("k"), hofQ($"a", $"b").as("h")).collect()
+    assert(rows(0).getLong(0) == rows(0).getLong(1))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+  }
+
   test("brute-force top-k: self-similar vector ranks first when included") {
     val q = emb.where($"vec_id" === 7)
     val withSelf = Similarity.bruteForceTopK(emb, q, k = 1, excludeSelf = false).collect()
