@@ -39,7 +39,8 @@ import org.apache.spark.storage.StorageLevel
   * reused every iteration; each iteration's labels are localCheckpoint'd
   * (eager) to cut lineage, the standard iterative-algorithm hygiene that
   * keeps plan size and recovery cost constant across rounds. The
-  * convergence probe is a driver-side count of changed labels — O(1)
+  * convergence probe is a driver-side Σcomp over the fresh labels (labels
+  * strictly decrease, so an unchanged sum IS the fixed point) — O(1)
   * metadata per round, not a data collect. Skew: the min-label key can
   * concentrate on one reducer only AFTER labels agree (final rounds,
   * tiny); candidate-pair graphs from LSH are bounded-degree by

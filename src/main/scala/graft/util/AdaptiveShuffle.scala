@@ -39,7 +39,10 @@ object AdaptiveShuffle {
     * narrow rows, restoring the previous value after. Every ACTION inside
     * `body` plans under the sized value; frames returned out of `body`
     * must be materialized inside it (the iterative operators checkpoint
-    * their results, so they are). */
+    * their results, so they are). The conf is session-scoped: queries
+    * planned CONCURRENTLY on the same session from other threads would see
+    * the override — the engine's iterative operators run single-threaded
+    * within a job, and none is on the crawl tick path. */
   def withPartitionsForRows[T](spark: SparkSession, rows: Long)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
