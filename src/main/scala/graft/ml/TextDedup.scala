@@ -31,11 +31,23 @@ object TextDedup {
       .groupBy(md5(normText(col(textCol))).as("text_hash"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("group_size"))
 
-  /** Exact-dedup survivors only (the kept corpus). */
-  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.join(
-      exactGroups(docs, idCol, textCol).select(col("survivor_id").as(idCol)),
-      Seq(idCol), "left_semi")
+  /** Exact-dedup survivors only (the kept corpus): the min-id row per
+    * distinct normalized text (ids assumed unique, as everywhere in the
+    * engine).
+    *
+    * Round-7 shape: rank-1 window over the text hash instead of
+    * aggregate + semi-join — the old plan shuffled the FULL corpus twice
+    * (survivor ids by id, then every doc row incl. its text by id for the
+    * join); the window form is ONE exchange on the 16-byte hash, and
+    * Spark's pre-shuffle WindowGroupLimit forwards at most one row per
+    * (hash, map task), so a viral megadup text costs its reducer one row
+    * per mapper — the same skew bound partial aggregation gave the old
+    * agg (plan-asserted in MlSpec). */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(normText(col(textCol)))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
 
   /** MinHash + LSH near-dup candidate pairs with exact-jaccard verification
     * on the signatures.

@@ -67,6 +67,15 @@ class TextDedupSpec extends AnyFunSuite {
     assert(TextDedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("exact dedup plan: one hash-keyed exchange, pre-shuffle WindowGroupLimit, no self-join") {
+    val plan = TextDedup.exactDedup(docs).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    // the rank-1 filter must push a partial group limit BELOW the exchange
+    // (the megadup skew bound: at most one row per hash per map task)
+    assert("WindowGroupLimit".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("minhash LSH finds near-dups, not unrelated docs") {
     val pairs = TextDedup.minhashNearDups(docs, threshold = 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
