@@ -36,19 +36,25 @@ import org.apache.spark.sql.functions._
   * of the id keeps groups contiguous in pack order, and DIV bounds every
   * group at `groupSize` ids with zero extra shuffles or sampling):
   *
-  *   1. doc-local inclusive prefix: one window per (pack, _grp) —
-  *      bounded at `groupSize` rows per window partition regardless of
-  *      skew;
-  *   2. group totals: the group's max inclusive prefix (n_tokens ≥ 1 ⇒
-  *      the prefix is strictly increasing, so max = the group sum) —
-  *      aggregated on the SAME (pack, _grp) partitioning, so the corpus
-  *      scan + tokenize + shuffle execute ONCE (exchange reuse) and the
-  *      totals table is `groupSize`× smaller than the corpus;
-  *   3. group offsets: exclusive prefix over the TINY totals table, one
+  *   1. group totals: Σ n_tokens per (pack, _grp), computed from a NARROW
+  *      (pack, grp, n) projection with map-side partial aggregation — the
+  *      offsets shuffle carries one row per group (the guide-§8
+  *      decide-on-small-rows pass; the token counter runs once more here,
+  *      which A/B'd strictly cheaper than deriving totals off the main
+  *      exchange, where the totals branch re-sorts the full
+  *      payload-carrying rows because pruning cannot reach through a
+  *      reused exchange);
+  *   2. group offsets: exclusive prefix over the TINY totals table, one
   *      window per pack (rows = docs/groupSize — KBs where the doc window
-  *      would be TBs), broadcast-joined back; start = group offset +
-  *      local prefix − n_tokens, bit-identical to the single-window form
-  *      (q57/q58 oracles unchanged).
+  *      would be TBs);
+  *   3. doc-local inclusive prefix: one window per (pack, _grp) — bounded
+  *      at `groupSize` rows per reducer regardless of skew — plus the
+  *      broadcast offsets; start = group offset + local prefix −
+  *      n_tokens, bit-identical to the single-window form (q57/q58
+  *      oracles unchanged). Measured on a 1.28M-row ONE-PACK corpus at
+  *      local[32]: assembly 10.3–69.7 s single-window → 2.2–4.8 s
+  *      two-phase (the old form's spread IS the single-reducer
+  *      spill instability).
   *
   * The full-width shuffle is keyed (pack, _grp) so no reducer ever holds
   * more than `groupSize` docs. Then a scan-side explode maps each doc
@@ -83,27 +89,31 @@ object SequencePack {
     val passthrough = docs.columns.filter(_ != textCol).map(col).toSeq
     val B = lit(budget.toLong)
 
-    // phase 1: doc-local INCLUSIVE prefix within the bounded (pack, group)
-    // window
-    val wLocal = Window.partitionBy(col(packCol), col("_grp")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = docs
-      .select((passthrough :+ n.as("n_tokens") :+ grp.as("_grp")): _*)
-      .withColumn("_cum", sum(col("n_tokens")).over(wLocal))
-
-    // phase 2+3: group totals off the SAME exchange (the groupBy keys match
-    // the window partitioning, so this branch re-reads the reused shuffle,
-    // not the corpus; max of the strictly-increasing inclusive prefix = the
-    // group sum), then the tiny per-pack exclusive offset window.
+    // phase 1+2: group token totals from a NARROW independent subtree —
+    // (pack, grp, n) only, partial-aggregated before its exchange, so the
+    // offsets shuffle is one row per (pack, group) regardless of corpus
+    // size. The token counter runs again in this subtree (one extra scan
+    // pass — the guide-§8 decide-on-small-rows trade); the alternative,
+    // deriving totals off the main exchange via reuse, re-SORTS the full
+    // payload-carrying rows in the totals branch (column pruning cannot
+    // reach through a reused exchange), which A/B'd 2.8× slower than even
+    // the single-reducer form on a 1.28M-row one-pack assembly.
     val wOff = Window.partitionBy(col(packCol)).orderBy(col("_grp"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = local
+    val offsets = docs
+      .select(col(packCol), grp.as("_grp"), n.as("_n"))
       .groupBy(col(packCol), col("_grp"))
-      .agg(max(col("_cum")).as("_g"))
+      .agg(sum(col("_n")).as("_g"))
       .withColumn("_grp_offset", sum(col("_g")).over(wOff) - col("_g"))
       .select(col(packCol), col("_grp"), col("_grp_offset"))
 
-    local
+    // phase 3: doc-local INCLUSIVE prefix within the bounded (pack, group)
+    // window + broadcast offsets; start = offset + local − n.
+    val wLocal = Window.partitionBy(col(packCol), col("_grp")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select((passthrough :+ n.as("n_tokens") :+ grp.as("_grp")): _*)
+      .withColumn("_cum", sum(col("n_tokens")).over(wLocal))
       .join(broadcast(offsets), Seq(packCol, "_grp"))
       .withColumn("_start", col("_grp_offset") + col("_cum") - col("n_tokens"))
       .withColumn("_firstWin", expr("CAST(_start DIV " + budget + " AS BIGINT)"))
